@@ -1,0 +1,50 @@
+"""Config loading.
+
+Same YAML schema as the reference ``configs/audio.yml`` (anchors included),
+loaded with ``yaml.safe_load`` and converted to nested namespaces
+(reference ``main.py:97-100`` + ``utils.py:4-12``). Differences, by design:
+
+- no executable config strings — the reference instantiates its transformer
+  via ``exec``/``eval`` (``models/diffusion.py:153-155``); here encoders and
+  optimizers are selected from explicit registries by name.
+- dtypes are jax dtype names ("float32"/"bfloat16"), not torch tensor types.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax.numpy as jnp
+import yaml
+
+from .utils.namespace import dict2namespace, namespace2dict
+
+_DTYPES = {
+    "float32": jnp.float32,
+    "bfloat16": jnp.bfloat16,
+    "float16": jnp.float16,
+    # Accept the reference's torch spellings for drop-in configs
+    # (configs/audio.yml:26,42 use torch.cuda.FloatTensor).
+    "torch.cuda.FloatTensor": jnp.float32,
+    "torch.FloatTensor": jnp.float32,
+    "torch.float": jnp.float32,
+    None: jnp.float32,
+}
+
+
+def resolve_dtype(name):
+    if name in _DTYPES:
+        return _DTYPES[name]
+    return jnp.dtype(name)
+
+
+def load_config(path: str):
+    with open(path, "r") as f:
+        raw = yaml.safe_load(f)
+    return dict2namespace(raw)
+
+
+def dump_config(config, path: str):
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        yaml.dump(namespace2dict(config), f, default_flow_style=False)

@@ -1,0 +1,237 @@
+"""The denoiser: conv U-Net with an FNet transformer bottleneck.
+
+Capability parity with the reference ``Model`` (``models/diffusion.py:170-294``):
+
+- head Conv C→ch[0] k3s1p1; 6 down stages (Downsample k4s2p1 between stages +
+  ``res[i]`` residual blocks of width ``ch[i]``); skip state appended after
+  *every* down entry (7 tensors including the head conv output)
+- residual block (``models/diffusion.py:12-56``): pre-norm
+  GN→SiLU→Conv3×3(no bias)+temb → SiLU→GN→Conv3×3(bias) → SiLU→GN(zero-init
+  weight, **no bias**) → input + x  (identity at init)
+- bottleneck at (T/32, F/32): flatten (C, F) → tokens of ch[-1]·F/32 = 2048
+  features, FNet transformer, unflatten
+- up path mirrors down with **additive** skips ``x = x + skip`` before every
+  up entry (including before the tail conv), Upsample = ConvTranspose k4s2p1
+- timestep embedding split into one chunk per resblock, down order then
+  reversed for the up path (``models/diffusion.py:178-184,248-250``)
+
+TPU-first design choices (not translations): NHWC layout throughout the conv
+stack (channels minor → lane dimension), the external API stays the
+reference's [B, C, T, F]; the positional/DFT tables are compile-time
+constants; optional bf16 compute with fp32 params.
+
+Param pytree top-level keys ("temb", "down_modules", "up_modules",
+"transformer") deliberately match the reference's top-level module names so
+per-group optimizer classification by top-level name
+(``runners/diffusion.py:65-87``) works on config untouched.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from .embeddings import beta_embedding_apply, beta_embedding_init
+from .fnet import transformer_module_apply, transformer_module_init
+from .layers import (
+    conv_apply,
+    conv_init,
+    conv_transpose_apply,
+    conv_transpose_init,
+    group_norm_apply,
+    group_norm_init,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """Static hyperparameters (hashable → usable as a jit static arg)."""
+
+    channels: int = 2
+    f_size: int = 256
+    ch: Sequence[int] = (32, 64, 96, 128, 192, 256)
+    krn: Sequence[int] = (3, 3, 3, 3, 3, 3)
+    res: Sequence[int] = (2, 2, 3, 3, 3, 3)
+    num_timesteps: int = 1000
+    dtype: Any = jnp.float32
+    transformers: Any = None  # namespace: module/kwargs/channels/fourier_impl
+
+    @classmethod
+    def from_config(cls, config):
+        """Build from a loaded audio.yml namespace (config.model/.diffusion)."""
+        from ..config import resolve_dtype
+
+        m = config.model
+        return cls(
+            channels=m.channels,
+            f_size=m.f_size,
+            ch=tuple(m.ch),
+            krn=tuple(m.krn),
+            res=tuple(m.res),
+            num_timesteps=config.diffusion.num_diffusion_timesteps,
+            dtype=resolve_dtype(getattr(m, "dtype", None)),
+            transformers=m.transformers,
+        )
+
+    def __hash__(self):
+        # transformers is an argparse.Namespace (unhashable); fold in its
+        # repr so configs differing only in transformer settings don't
+        # collide as jit static args.
+        return hash((self.channels, self.f_size, self.ch, self.krn, self.res,
+                     self.num_timesteps, str(self.dtype),
+                     repr(vars(self.transformers)) if self.transformers else ""))
+
+    def __eq__(self, other):
+        return isinstance(other, ModelConfig) and hash(self) == hash(other)
+
+    @property
+    def embedding_sizes(self) -> tuple:
+        down = [c for c, r in zip(self.ch, self.res) for _ in range(r)]
+        return tuple(down + down[::-1])
+
+    @property
+    def bottleneck_io(self) -> int:
+        return self.ch[-1] * (self.f_size // (2 ** (len(self.ch) - 1)))
+
+
+def _resblock_init(key, channels: int, kernel_size: int, dtype):
+    k1, k2 = jax.random.split(key)
+    return {
+        "norm1": group_norm_init(channels, dtype=dtype),
+        "conv1": conv_init(k1, kernel_size, kernel_size, channels, channels,
+                           bias=False, dtype=dtype),
+        "norm2": group_norm_init(channels, dtype=dtype),
+        "conv2": conv_init(k2, kernel_size, kernel_size, channels, channels,
+                           bias=True, dtype=dtype),
+        "norm3": group_norm_init(channels, bias=False, zero_weight=True, dtype=dtype),
+    }
+
+
+def _resblock_apply(p, x, temb, *, kernel_size: int):
+    """x: [B,T,F,C]; temb: [B,C]. Identity at init (zero-weight final GN)."""
+    pad = kernel_size // 2
+    h = group_norm_apply(p["norm1"], x)
+    h = jax.nn.silu(h)
+    h = conv_apply(p["conv1"], h, padding=pad) + temb[:, None, None, :].astype(x.dtype)
+    h = jax.nn.silu(h)
+    h = group_norm_apply(p["norm2"], h)
+    h = conv_apply(p["conv2"], h, padding=pad)
+    h = jax.nn.silu(h)
+    h = group_norm_apply(p["norm3"], h)
+    return x + h
+
+
+def init_model(key, cfg: ModelConfig):
+    """Returns the parameter pytree. ~47.2M params at the audio.yml config
+    (verified against the executed reference: 47,155,266)."""
+    dtype = jnp.float32  # master params are always fp32; cfg.dtype is compute
+    n_keys = 4 + 2 * len(cfg.ch)
+    keys = iter(jax.random.split(key, n_keys + sum(cfg.res) * 2))
+
+    params = {}
+    params["temb"] = beta_embedding_init(
+        next(keys), cfg.num_timesteps, sum(cfg.embedding_sizes), dtype=dtype
+    )
+
+    down = {"head": conv_init(next(keys), 3, 3, cfg.channels, cfg.ch[0], dtype=dtype)}
+    up = {"tail": conv_init(next(keys), 3, 3, cfg.ch[0], cfg.channels, dtype=dtype)}
+    down_stages, up_stages = [], []
+    prev = -1
+    for ch, krn, res in zip(cfg.ch, cfg.krn, cfg.res):
+        dstage, ustage = {}, {}
+        if prev != -1:
+            dstage["down"] = conv_init(next(keys), 4, 4, prev, ch, dtype=dtype)
+            ustage["up"] = conv_transpose_init(next(keys), 4, 4, ch, prev, dtype=dtype)
+        dstage["blocks"] = [_resblock_init(next(keys), ch, krn, dtype) for _ in range(res)]
+        ustage["blocks"] = [_resblock_init(next(keys), ch, krn, dtype) for _ in range(res)]
+        down_stages.append(dstage)
+        up_stages.append(ustage)
+        prev = ch
+    down["stages"] = down_stages
+    up["stages"] = up_stages
+    params["down_modules"] = down
+    params["up_modules"] = up
+
+    params["transformer"] = transformer_module_init(
+        next(keys), cfg.bottleneck_io, cfg.transformers, dtype=dtype
+    )
+    return params
+
+
+def apply_model(params, x, t, cfg: ModelConfig, *, train: bool = False, rng=None):
+    """Denoiser forward: x [B, C, T, F], t int [B] → eps_hat [B, C, T, F].
+
+    T must be divisible by 2^(len(ch)-1) (=32 for audio.yml), as in the
+    reference (stride-2 stages).
+    """
+    stride_total = 2 ** (len(cfg.ch) - 1)
+    if x.ndim != 4 or x.shape[1] != cfg.channels or x.shape[3] != cfg.f_size:
+        raise ValueError(
+            f"expected x of shape [B, {cfg.channels}, T, {cfg.f_size}], got {x.shape}"
+        )
+    if x.shape[2] % stride_total != 0:
+        raise ValueError(
+            f"T={x.shape[2]} must be divisible by the total stride {stride_total}"
+        )
+    compute_dtype = cfg.dtype
+    x = jnp.transpose(x, (0, 2, 3, 1)).astype(compute_dtype)  # NCHW-ish → NHWC
+
+    temb = beta_embedding_apply(
+        params["temb"], t, num_timesteps=cfg.num_timesteps, dtype=jnp.float32
+    )
+    temb_chunks = list(jnp.split(temb, _split_points(cfg.embedding_sizes), axis=-1))
+    temb_iter = iter(temb_chunks)
+
+    # Down path; skip state captured after every entry (7 tensors).
+    hidden = []
+    h = conv_apply(params["down_modules"]["head"], x, padding=1)
+    hidden.append(h)
+    for stage, krn in zip(params["down_modules"]["stages"], cfg.krn):
+        if "down" in stage:
+            h = conv_apply(stage["down"], h, stride=2, padding=1)
+        for block in stage["blocks"]:
+            h = _resblock_apply(block, h, next(temb_iter), kernel_size=krn)
+        hidden.append(h)
+
+    # Bottleneck: [B,T',F',C] → tokens [B,T',C·F'] with (C,F) flatten order
+    # matching the reference's NCHW permute+reshape (models/diffusion.py:273-275).
+    b, tt, ff, cc = h.shape
+    tdtype = jnp.float32
+    if getattr(cfg.transformers, "dtype", None) is not None:
+        from ..config import resolve_dtype
+
+        tdtype = resolve_dtype(cfg.transformers.dtype)
+    z = jnp.transpose(h, (0, 1, 3, 2)).reshape(b, tt, cc * ff).astype(tdtype)
+    z = transformer_module_apply(
+        params["transformer"], z, tcfg=cfg.transformers, train=train, rng=rng
+    )
+    h = jnp.transpose(z.reshape(b, tt, cc, ff), (0, 1, 3, 2)).astype(compute_dtype)
+
+    # Up path: additive skip before every entry, including the tail conv.
+    for stage, krn in zip(
+        reversed(params["up_modules"]["stages"]), reversed(cfg.krn)
+    ):
+        h = h + hidden.pop()
+        for block in stage["blocks"]:
+            h = _resblock_apply(block, h, next(temb_iter), kernel_size=krn)
+        if "up" in stage:
+            h = conv_transpose_apply(stage["up"], h, stride=2, padding=1)
+    h = h + hidden.pop()
+    h = conv_apply(params["up_modules"]["tail"], h, padding=1)
+
+    return jnp.transpose(h, (0, 3, 1, 2)).astype(jnp.float32)  # NHWC → [B,C,T,F]
+
+
+def _split_points(sizes: Sequence[int]) -> list[int]:
+    pts, acc = [], 0
+    for s in sizes[:-1]:
+        acc += s
+        pts.append(acc)
+    return pts
+
+
+def count_params(params) -> int:
+    return sum(p.size for p in jax.tree_util.tree_leaves(params))
