@@ -19,6 +19,13 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+import jax
+
+# Parity tests compare against fp32 torch; JAX's DEFAULT matmul/conv
+# precision downcasts operands (bf16-like passes even on CPU via oneDNN).
+# Production exposes this as config.model.matmul_precision.
+jax.config.update("jax_default_matmul_precision", "highest")
+
 import numpy as np
 import pytest
 
