@@ -37,7 +37,9 @@ def beta_embedding_init(key, num_timesteps: int, channel_sz: int, dtype=jnp.floa
 def beta_embedding_apply(params, t, *, num_timesteps: int, dtype=jnp.float32):
     """t: int array [B] → [B, channel_sz]."""
     table = jnp.asarray(sinusoid_table(num_timesteps, POS_CH), dtype=dtype)
-    x = jnp.take(table, t, axis=0)
+    # mode="clip": jnp.take's default OOB mode fills NaN, which silently
+    # poisons the whole forward if t ever exceeds the table.
+    x = jnp.take(table, t, axis=0, mode="clip")
     x = linear_apply(params["mlp"][0], x)
     x = jax.nn.silu(x)
     x = linear_apply(params["mlp"][1], x)

@@ -29,6 +29,7 @@ per-group optimizer classification by top-level name
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Any, Sequence
 
 import jax
@@ -58,6 +59,10 @@ class ModelConfig:
     num_timesteps: int = 1000
     dtype: Any = jnp.float32
     transformers: Any = None  # namespace: module/kwargs/channels/fourier_impl
+    # Rematerialize each resblock in the backward pass: the fp32 batch-14
+    # train step needs ~25 GB of HLO temps without it vs ~16 GB of HBM on a
+    # v5e chip (jax.checkpoint trades ~30% flops for activation memory).
+    remat: bool = True
 
     @classmethod
     def from_config(cls, config):
@@ -81,7 +86,7 @@ class ModelConfig:
         # repr so configs differing only in transformer settings don't
         # collide as jit static args.
         return hash((self.channels, self.f_size, self.ch, self.krn, self.res,
-                     self.num_timesteps, str(self.dtype),
+                     self.num_timesteps, str(self.dtype), self.remat,
                      repr(vars(self.transformers)) if self.transformers else ""))
 
     def __eq__(self, other):
@@ -185,6 +190,17 @@ def apply_model(params, x, t, cfg: ModelConfig, *, train: bool = False, rng=None
     temb_chunks = list(jnp.split(temb, _split_points(cfg.embedding_sizes), axis=-1))
     temb_iter = iter(temb_chunks)
 
+    if cfg.remat:
+        block_apply = {
+            k: jax.checkpoint(functools.partial(_resblock_apply, kernel_size=k))
+            for k in set(cfg.krn)
+        }
+    else:
+        block_apply = {
+            k: functools.partial(_resblock_apply, kernel_size=k)
+            for k in set(cfg.krn)
+        }
+
     # Down path; skip state captured after every entry (7 tensors).
     hidden = []
     h = conv_apply(params["down_modules"]["head"], x, padding=1)
@@ -193,7 +209,7 @@ def apply_model(params, x, t, cfg: ModelConfig, *, train: bool = False, rng=None
         if "down" in stage:
             h = conv_apply(stage["down"], h, stride=2, padding=1)
         for block in stage["blocks"]:
-            h = _resblock_apply(block, h, next(temb_iter), kernel_size=krn)
+            h = block_apply[krn](block, h, next(temb_iter))
         hidden.append(h)
 
     # Bottleneck: [B,T',F',C] → tokens [B,T',C·F'] with (C,F) flatten order
@@ -216,7 +232,7 @@ def apply_model(params, x, t, cfg: ModelConfig, *, train: bool = False, rng=None
     ):
         h = h + hidden.pop()
         for block in stage["blocks"]:
-            h = _resblock_apply(block, h, next(temb_iter), kernel_size=krn)
+            h = block_apply[krn](block, h, next(temb_iter))
         if "up" in stage:
             h = conv_transpose_apply(stage["up"], h, stride=2, padding=1)
     h = h + hidden.pop()

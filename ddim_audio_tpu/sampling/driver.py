@@ -1,0 +1,234 @@
+"""Chunked lax.scan sampler driver.
+
+The reference's samplers are Python loops of T sequential model calls with
+per-kept-step device→host copies (``functions/denoising.py:21-50,66-91``).
+Here the loop is a jitted ``jax.lax.scan`` over precomputed per-step
+coefficient arrays: the only Python-level iteration is over *chunks*, between
+which selected outputs are fetched to host — this bounds HBM for
+``--sequence -1`` at t_size 8192 (SURVEY.md §7 hard part d: 1000 full states
+cannot live on device) while keeping the hot loop fully on-device.
+
+Selected outputs are written into preallocated ``[n_slots + 1, ...]`` carry
+buffers via dynamic_update_index (scan cannot append); unselected steps write
+to the trash slot ``n_slots``. Chunk boundaries are chosen so that each
+chunk's buffer fits a memory budget; a last-only fast path carries just x.
+
+select_index semantics match the reference (``functions/denoising.py:29-34``):
+step index k (0-based over the reversed sequence) is kept iff
+``k in select_index or k - K in select_index`` (negative indexing supported);
+``None`` keeps every step.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from .ddim import ddim_coefficients, ddim_step
+from .ddpm import ddpm_coefficients, ddpm_step
+
+_BUFFER_BUDGET_BYTES = 4 << 30
+
+
+def selected_steps(num_steps: int, select_index) -> list[int]:
+    if select_index is None:
+        return list(range(num_steps))
+    sel = set(int(s) for s in select_index)
+    return [k for k in range(num_steps) if k in sel or k - num_steps in sel]
+
+
+def _chunk_plan(num_steps, selected, scan_chunk, max_slots):
+    """Greedy chunking: each chunk ≤ scan_chunk steps and ≤ max_slots kept."""
+    sel = set(selected)
+    chunks = []  # (start, stop, [kept indices])
+    start = 0
+    kept = []
+    for k in range(num_steps):
+        if k - start >= scan_chunk or len(kept) >= max_slots:
+            chunks.append((start, k, kept))
+            start, kept = k, []
+        if k in sel:
+            kept.append(k)
+    chunks.append((start, num_steps, kept))
+    return [c for c in chunks if c[1] > c[0]]
+
+
+class ScanSampler:
+    """Runs DDIM ("generalized") or DDPM ("ddpm_noisy") sampling.
+
+    denoise_fn(x [B,C,T,F], t int32 [B]) -> eps [B,C,T,F]; already closed
+    over params (and over any pjit sharding).
+    """
+
+    def __init__(self, denoise_fn, *, kind: str = "generalized", scan_chunk: int = 100):
+        if kind not in ("generalized", "ddpm_noisy"):
+            raise NotImplementedError(f"sample_type {kind}")
+        self.denoise_fn = denoise_fn
+        self.kind = kind
+        self.scan_chunk = int(scan_chunk)
+        self._cache = {}
+
+    # ---- jitted chunk programs ------------------------------------------
+
+    def _fast_chunk(self, with_noise, ext_noise, shape, dtype):
+        """Carry = x only; no output buffers (last-only path)."""
+        key_ = ("fast", with_noise, ext_noise, shape, str(dtype))
+        if key_ not in self._cache:
+            step = self._make_step(with_noise, ext_noise)
+
+            def fn(x, coeffs, rng):
+                def body(x, inp):
+                    _, x_next = step(x, inp, rng)
+                    return x_next, None
+
+                x, _ = jax.lax.scan(body, x, coeffs)
+                return x
+
+            self._cache[key_] = jax.jit(fn)
+        return self._cache[key_]
+
+    def _buffered_chunk(self, n_slots, with_noise, ext_noise, shape, dtype):
+        key_ = ("buf", n_slots, with_noise, ext_noise, shape, str(dtype))
+        if key_ not in self._cache:
+            step = self._make_step(with_noise, ext_noise)
+
+            def fn(x, coeffs, x0_slots, xt_slots, rng):
+                x0_buf = jnp.zeros((n_slots + 1,) + shape, dtype)
+                xt_buf = jnp.zeros((n_slots + 1,) + shape, dtype)
+
+                def body(carry, inp):
+                    x, x0_buf, xt_buf = carry
+                    coeff, x0_slot, xt_slot = inp
+                    x0, x_next = step(x, coeff, rng)
+                    x0_buf = jax.lax.dynamic_update_index_in_dim(
+                        x0_buf, x0, x0_slot, 0
+                    )
+                    xt_buf = jax.lax.dynamic_update_index_in_dim(
+                        xt_buf, x_next, xt_slot, 0
+                    )
+                    return (x_next, x0_buf, xt_buf), None
+
+                (x, x0_buf, xt_buf), _ = jax.lax.scan(
+                    body, (x, x0_buf, xt_buf), (coeffs, x0_slots, xt_slots)
+                )
+                return x, x0_buf[:n_slots], xt_buf[:n_slots]
+
+            self._cache[key_] = jax.jit(fn)
+        return self._cache[key_]
+
+    def _make_step(self, with_noise, ext_noise):
+        denoise_fn = self.denoise_fn
+        kind = self.kind
+
+        def step(x, inp, rng):
+            coeff = inp
+            noise = None
+            if ext_noise:
+                coeff, noise = inp[:-1], inp[-1]
+            t = coeff[0]
+            tb = jnp.broadcast_to(t, (x.shape[0],)).astype(jnp.int32)
+            eps = denoise_fn(x, tb)
+            if with_noise and noise is None:
+                kglobal = coeff[-1]  # appended global step index
+                noise = jax.random.normal(
+                    jax.random.fold_in(rng, kglobal), x.shape, x.dtype
+                )
+            if kind == "generalized":
+                _, at, at_next, c1, c2 = coeff[:5]
+                return ddim_step(x, eps, at, at_next, c1, c2, noise)
+            else:
+                _, at, coef_x0, coef_x, noise_scale = coeff[:5]
+                return ddpm_step(x, eps, at, coef_x0, coef_x, noise_scale, noise)
+
+        return step
+
+    # ---- coefficient packing --------------------------------------------
+
+    def _coeff_arrays(self, schedule, seq, eta):
+        if self.kind == "generalized":
+            c = ddim_coefficients(schedule.alphas_cumprod, seq, eta)
+            order = ("t", "at", "at_next", "c1", "c2")
+        else:
+            c = ddpm_coefficients(schedule.betas, seq)
+            order = ("t", "at", "coef_x0", "coef_x", "noise_scale")
+        return tuple(c[k] for k in order)
+
+    # ---- public API -------------------------------------------------------
+
+    def sample_last(self, x, seq, schedule, *, eta=0.0, key=None):
+        """Fast path: return only the final x (stays on device).
+        Covers sampling.last_only (configs/audio.yml:71 — never consumed by
+        the reference; first-class here)."""
+        coeffs = self._coeff_arrays(schedule, seq, eta)
+        K = len(coeffs[0])
+        with_noise = self._needs_noise(eta)
+        rng = key if key is not None else jax.random.key(0)
+        for start in range(0, K, self.scan_chunk):
+            stop = min(start + self.scan_chunk, K)
+            packed = self._pack(coeffs, start, stop, with_noise)
+            fn = self._fast_chunk(with_noise, False, x.shape, x.dtype)
+            x = fn(x, packed, rng)
+        return x
+
+    def sample(
+        self,
+        x,
+        seq,
+        schedule,
+        *,
+        eta=0.0,
+        select_index=None,
+        key=None,
+        noise_override=None,
+    ):
+        """Full-parity path: returns (xs, x0_preds) as lists of host numpy
+        arrays, xs[0] = the input noise (reference functions/denoising.py:17).
+
+        noise_override: optional [K, *x.shape] array of per-step noises (used
+        by parity tests to share noise with the torch reference)."""
+        coeffs = self._coeff_arrays(schedule, seq, eta)
+        K = len(coeffs[0])
+        sel = selected_steps(K, select_index)
+        with_noise = self._needs_noise(eta)
+        ext_noise = noise_override is not None
+        rng = key if key is not None else jax.random.key(0)
+
+        max_slots = max(1, int(_BUFFER_BUDGET_BYTES // (2 * max(x.nbytes, 1))) - 1)
+        chunks = _chunk_plan(K, sel, self.scan_chunk, max_slots)
+
+        xs = [np.asarray(x)]
+        x0_preds = []
+        for start, stop, kept in chunks:
+            packed = self._pack(coeffs, start, stop, with_noise)
+            if ext_noise:
+                packed = packed + (jnp.asarray(noise_override[start:stop]),)
+            n_slots = len(kept)
+            if n_slots == 0:
+                fn = self._fast_chunk(with_noise, ext_noise, x.shape, x.dtype)
+                x = fn(x, packed, rng)
+                continue
+            slot_of = {k: i for i, k in enumerate(kept)}
+            slots = np.array(
+                [slot_of.get(k, n_slots) for k in range(start, stop)], np.int32
+            )
+            fn = self._buffered_chunk(n_slots, with_noise, ext_noise, x.shape, x.dtype)
+            x, x0_buf, xt_buf = fn(
+                x, packed, jnp.asarray(slots), jnp.asarray(slots), rng
+            )
+            x0_host, xt_host = np.asarray(x0_buf), np.asarray(xt_buf)
+            for i in range(n_slots):
+                x0_preds.append(x0_host[i])
+                xs.append(xt_host[i])
+        return xs, x0_preds
+
+    def _needs_noise(self, eta):
+        return self.kind == "ddpm_noisy" or eta != 0.0
+
+    @staticmethod
+    def _pack(coeffs, start, stop, with_noise):
+        packed = tuple(jnp.asarray(c[start:stop]) for c in coeffs)
+        if with_noise:
+            packed = packed + (jnp.arange(start, stop, dtype=jnp.uint32),)
+        return packed

@@ -1,0 +1,147 @@
+"""The fused training step.
+
+Capability parity with the reference train loop
+(``runners/diffusion.py:130-199``): antithetic timestep sampling, simple
+ε-loss, per-group gradient clipping, per-group optimizers with Noam warmup,
+EMA — but as ONE jitted function over a TrainState pytree, with no host
+synchronization inside the hot loop (the reference syncs every step via
+``loss.item()`` + logging, SURVEY.md §3.1); metrics come back as device
+scalars the host fetches at its own cadence.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..models.unet import apply_model
+from .ema import ema_init, ema_update
+from .losses import loss_registry
+from .optim import AdaBeliefState, build_optimizer
+
+
+@flax.struct.dataclass
+class TrainState:
+    params: Any
+    opt_state: Any
+    ema: Optional[Any]
+    step: jnp.ndarray  # int32 scalar
+
+
+def antithetic_timesteps(key, n: int, num_timesteps: int):
+    """t ∪ (T - t - 1), truncated to n (reference runners/diffusion.py:140-142)."""
+    half = jax.random.randint(key, ((n + 1) // 2,), 0, num_timesteps)
+    return jnp.concatenate([half, num_timesteps - half - 1])[:n]
+
+
+def init_train_state(params, optimization_cfg, *, use_ema: bool) -> tuple:
+    """Returns (state, tx). tx is needed again for update at each step."""
+    tx = build_optimizer(optimization_cfg, params)
+    return (
+        TrainState(
+            params=params,
+            opt_state=tx.init(params),
+            ema=ema_init(params) if use_ema else None,
+            step=jnp.zeros((), jnp.int32),
+        ),
+        tx,
+    )
+
+
+def _collect_adabelief_stats(opt_state, out: dict, prefix=""):
+    """Surface AdaBelief update-norm stats (the reference logs the stat dict
+    returned by its optimizer.step(), runners/diffusion.py:162-171)."""
+    if isinstance(opt_state, AdaBeliefState):
+        out[f"update_norm{prefix}"] = opt_state.update_norm
+        return out
+    if hasattr(opt_state, "inner_states"):  # optax MultiTransformState
+        for name, inner in opt_state.inner_states.items():
+            _collect_adabelief_stats(inner, out, prefix=f"_{name}")
+        return out
+    if isinstance(opt_state, tuple):
+        for part in opt_state:
+            _collect_adabelief_stats(part, out, prefix)
+    return out
+
+
+def make_train_step(cfg, config, alphas_cumprod, tx):
+    """cfg: ModelConfig; config: full audio.yml namespace; returns a jitted
+    train_step(state, x0 [B,C,T,F], rng_root) -> (state, metrics).
+
+    ``training.grad_accum`` (default 1) splits the batch into A microbatches
+    scanned sequentially with gradient averaging — numerically identical to
+    the full-batch gradient (the loss is a mean of per-sample sums), but the
+    activation working set shrinks by A. Needed on a single 16 GB v5e chip:
+    the fp32 batch-14 backward wants ~24 GB of HLO temps (XLA lane-pads the
+    C=32/64 stages 4×), and the reference's batch-14 training config must
+    still run (BASELINE.md)."""
+    loss_fn_impl = loss_registry[config.model.type]
+    # cfg.num_timesteps is the single source of truth (it sizes the timestep
+    # embedding table); config.diffusion must agree with it by construction.
+    num_timesteps = cfg.num_timesteps
+    use_ema = bool(config.model.ema)
+    mu = float(getattr(config.model, "ema_rate", 0.999))
+    grad_accum = int(getattr(config.training, "grad_accum", 1) or 1)
+    alphas = jnp.asarray(alphas_cumprod, jnp.float32)
+
+    def train_step(state: TrainState, x0, rng_root):
+        rng = jax.random.fold_in(rng_root, state.step)
+        t_key, e_key, d_key = jax.random.split(rng, 3)
+        n = x0.shape[0]
+        t = antithetic_timesteps(t_key, n, num_timesteps)
+
+        def apply_fn(p, x, tt):
+            return apply_model(p, x, tt, cfg, train=True, rng=d_key)
+
+        def micro_loss(p, x0_mb, t_mb, e_mb):
+            return loss_fn_impl(apply_fn, p, x0_mb, t_mb, e_mb, alphas)
+
+        if grad_accum == 1:
+            e = jax.random.normal(e_key, x0.shape, x0.dtype)
+            loss, grads = jax.value_and_grad(micro_loss)(state.params, x0, t, e)
+        else:
+            if n % grad_accum != 0:
+                raise ValueError(
+                    f"batch {n} not divisible by grad_accum {grad_accum}"
+                )
+            mb = n // grad_accum
+            x0_mbs = x0.reshape((grad_accum, mb) + x0.shape[1:])
+            t_mbs = t.reshape(grad_accum, mb)
+
+            def body(carry, inp):
+                loss_sum, grad_sum = carry
+                x0_mb, t_mb, i = inp
+                e_mb = jax.random.normal(
+                    jax.random.fold_in(e_key, i), x0_mb.shape, x0_mb.dtype
+                )
+                loss_i, g_i = jax.value_and_grad(micro_loss)(
+                    state.params, x0_mb, t_mb, e_mb
+                )
+                grad_sum = jax.tree_util.tree_map(jnp.add, grad_sum, g_i)
+                return (loss_sum + loss_i, grad_sum), None
+
+            zero_grads = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+            (loss_sum, grad_sum), _ = jax.lax.scan(
+                body,
+                (jnp.zeros((), jnp.float32), zero_grads),
+                (x0_mbs, t_mbs, jnp.arange(grad_accum, dtype=jnp.uint32)),
+            )
+            loss = loss_sum / grad_accum
+            grads = jax.tree_util.tree_map(lambda g: g / grad_accum, grad_sum)
+
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        ema = ema_update(state.ema, params, mu) if use_ema else None
+
+        metrics = {"loss": loss, "grad_norm": optax.global_norm(grads)}
+        _collect_adabelief_stats(opt_state, metrics)
+        new_state = TrainState(
+            params=params, opt_state=opt_state, ema=ema, step=state.step + 1
+        )
+        return new_state, metrics
+
+    return jax.jit(train_step, donate_argnums=(0,))

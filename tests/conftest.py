@@ -8,7 +8,10 @@ to single-device outputs.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# The ambient environment pins JAX_PLATFORMS=axon (the real TPU tunnel) and
+# the axon plugin overrides the env var — only jax.config.update below
+# actually forces CPU. XLA_FLAGS must still be set pre-initialization.
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
@@ -20,6 +23,8 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 # Parity tests compare against fp32 torch; JAX's DEFAULT matmul/conv
 # precision downcasts operands (bf16-like passes even on CPU via oneDNN).

@@ -1,0 +1,189 @@
+"""pfft codec, dataset, and signal-op tests: round-trip identity, jax/numpy
+twin parity, export utilities, split determinism."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from ddim_audio_tpu.data.codec import (
+    limit_length_img,
+    pfft2img,
+    pfft2wav,
+    pfft_to_wave,
+    read_audio,
+    wav2pfft,
+)
+from ddim_audio_tpu.ops.signal import denoise_2d
+from ddim_audio_tpu.ops.stft import STFTConfig, istft_pfft, num_samples, stft_pfft
+
+CFG = STFTConfig(f_size=64, virtual_samplerate=16000)
+
+
+def _tone_plus_noise(n, sr=16000, seed=0):
+    t = np.arange(n) / sr
+    rng = np.random.default_rng(seed)
+    wave = 0.5 * np.sin(2 * np.pi * 440 * t) + 0.05 * rng.standard_normal(n)
+    return wave.astype(np.float32)
+
+
+def test_roundtrip_numpy():
+    n = num_samples(CFG, 32)
+    wave = _tone_plus_noise(n)
+    p = wav2pfft(wave, CFG, 32)
+    assert p.shape == (2, 32, 64)
+    back = pfft_to_wave(p, CFG)
+    # the codec is exactly invertible
+    assert np.abs(back - wave).max() < 1e-5
+    assert np.corrcoef(back, wave)[0, 1] > 0.999999
+
+
+def test_roundtrip_jax_matches_numpy():
+    n = num_samples(CFG, 16)
+    wave = _tone_plus_noise(n, seed=1)
+    p_np = wav2pfft(wave, CFG)
+    p_jx = np.asarray(stft_pfft(jnp.asarray(wave), CFG))
+    np.testing.assert_allclose(p_np, p_jx, atol=2e-5)
+    back = np.asarray(istft_pfft(jnp.asarray(p_np), CFG))
+    np.testing.assert_allclose(back, pfft_to_wave(p_np, CFG), atol=2e-5)
+
+
+def test_batched_stft():
+    n = num_samples(CFG, 8)
+    waves = np.stack([_tone_plus_noise(n, seed=s) for s in range(3)])
+    p = np.asarray(stft_pfft(jnp.asarray(waves), CFG))
+    assert p.shape == (3, 2, 8, 64)
+    back = np.asarray(istft_pfft(jnp.asarray(p), CFG))
+    assert np.abs(back - waves).max() < 1e-4
+
+
+def test_amplitude_normalization():
+    """An amplitude-1 pure tone lands near ±1 in pfft space (the model's
+    working range; ddpm clamps x0 to [-1,1])."""
+    n = num_samples(CFG, 32)
+    t = np.arange(n) / CFG.virtual_samplerate
+    freq = 10 * CFG.virtual_samplerate / CFG.n_fft  # bin-centered
+    wave = np.sin(2 * np.pi * freq * t).astype(np.float32)
+    p = wav2pfft(wave, CFG)
+    assert 0.7 < np.abs(p).max() <= 1.3
+
+
+def test_pfft2wav_and_img_surface():
+    """The export call-site contract: img is [F, T, C]
+    (reference runners/diffusion.py:402-420)."""
+    n = num_samples(CFG, 16)
+    wave = _tone_plus_noise(n, seed=2)
+    p = wav2pfft(wave, CFG)  # [2, T, F]
+    img = np.transpose(p, (2, 1, 0))  # [F, T, C]
+    pcm = pfft2wav(img, CFG.virtual_samplerate, dtype=np.int32)
+    assert pcm.dtype == np.int32 and pcm.shape == (n,)
+    back = pcm.astype(np.float64) / np.iinfo(np.int32).max
+    assert np.corrcoef(back, wave)[0, 1] > 0.999
+
+    render = pfft2img(img)
+    assert render.dtype == np.uint8 and render.shape == (64, 16)
+    wide = np.zeros((64, 5000, 2), np.float32)
+    assert limit_length_img(pfft2img(wide)).shape[1] == 4096
+
+
+def test_denoise_2d_reduces_noise():
+    rng = np.random.default_rng(0)
+    clean = np.zeros((1, 2, 32, 32), np.float32)
+    clean[..., 8:12, 8:12] = 2.0  # a "signal" blob
+    noisy = clean + 0.3 * rng.standard_normal(clean.shape).astype(np.float32)
+    out = np.asarray(denoise_2d(jnp.asarray(noisy)))
+    assert out.shape == noisy.shape
+    err_before = np.mean((noisy - clean) ** 2)
+    err_after = np.mean((out - clean) ** 2)
+    assert err_after < err_before
+
+
+@pytest.fixture
+def audio_dir(tmp_path):
+    from scipy.io import wavfile
+
+    sr = 16000
+    for i in range(4):
+        n = num_samples(STFTConfig(f_size=64), 8) + i * 100
+        wave = _tone_plus_noise(n, sr=sr, seed=i)
+        wavfile.write(tmp_path / f"clip{i}.wav", sr, (wave * 32767).astype(np.int16))
+    np.save(tmp_path / "raw.npy", _tone_plus_noise(num_samples(STFTConfig(f_size=64), 8)))
+    return str(tmp_path)
+
+
+def test_audio_dataset(audio_dir):
+    from ddim_audio_tpu.data.audio_dataset import AudioDataset
+
+    ds = AudioDataset(
+        path=audio_dir, f_size=64, t_size=8, virtual_samplerate=16000
+    )
+    assert len(ds) >= 5
+    x, y = ds[0]
+    assert x.shape == (2, 8, 64) and x.dtype == np.float32 and y == 0
+
+
+def test_get_dataset_split_deterministic(audio_dir):
+    from argparse import Namespace
+
+    from ddim_audio_tpu.data.audio_dataset import get_dataset
+    from ddim_audio_tpu.utils.namespace import dict2namespace
+
+    config = dict2namespace(
+        {
+            "data": {
+                "dataset": "AUDIO",
+                "path": audio_dir,
+                "dataset_kwargs": {
+                    "f_size": 64,
+                    "t_size": 8,
+                    "virtual_samplerate": 16000,
+                    "axis": "CTF",
+                    "HPI": False,
+                },
+            }
+        }
+    )
+    # outer RNG state must be preserved (reference datasets/__init__.py:38-42)
+    np.random.seed(777)
+    before = np.random.rand()
+    np.random.seed(777)
+    train1, test1 = get_dataset(Namespace(), config)
+    after = np.random.rand()
+    assert before == after
+
+    train2, test2 = get_dataset(Namespace(), config)
+    assert train1.indices == train2.indices and test1.indices == test2.indices
+    total = len(train1) + len(test1)
+    assert len(train1) == int(total * 0.9)
+
+
+def test_get_dataset_validations(tmp_path):
+    from argparse import Namespace
+
+    from ddim_audio_tpu.data.audio_dataset import get_dataset
+    from ddim_audio_tpu.utils.namespace import dict2namespace
+
+    def cfg_for(path):
+        return dict2namespace(
+            {"data": {"dataset": "AUDIO", "path": path, "dataset_kwargs": {}}}
+        )
+
+    with pytest.raises(NotADirectoryError):
+        get_dataset(Namespace(), cfg_for(str(tmp_path / "missing")))
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    with pytest.raises(FileNotFoundError):
+        get_dataset(Namespace(), cfg_for(str(empty)))
+
+
+def test_read_audio_resample(tmp_path):
+    from scipy.io import wavfile
+
+    sr = 8000
+    wave = _tone_plus_noise(8000, sr=sr)
+    wavfile.write(tmp_path / "a.wav", sr, (wave * 32767).astype(np.int16))
+    out = read_audio(str(tmp_path / "a.wav"), 16000)
+    assert abs(len(out) - 16000) <= 1
+    assert np.abs(out).max() <= 1.001
