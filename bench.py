@@ -1,0 +1,94 @@
+#!/usr/bin/env python
+"""Benchmark: per-clip 100-step DDIM sampling wall-clock on one TPU chip.
+
+The driver-defined target metric (BASELINE.json): per-clip sampling
+wall-clock for ``audio.yml`` DDIM sampling (eta=0, --timesteps 100, batch 1,
+[1, 2, 8192, 256]) — 100 strictly sequential forwards of the 47.2M-param
+denoiser through the jitted lax.scan sampler.
+
+Baseline: the PyTorch reference cannot run this workload on CUDA here; its
+CPU execution (torch 2.13, this host's 1 vCPU) measures 104.5 s *per model
+forward* at this shape (mean of 3, measured 2026-08-16 via the
+tests/torch_ref.py harness), i.e. ~10,449 s for the 100-step clip.
+``vs_baseline`` is the speedup ratio (reference wall-clock / ours; >1 is
+faster than the reference).
+
+Prints exactly ONE JSON line:
+  {"metric": ..., "value": <seconds>, "unit": "s", "vs_baseline": <ratio>}
+"""
+
+import json
+import sys
+import time
+
+# measured on this machine (see module docstring); per-forward mean 104.5 s
+TORCH_CPU_100STEP_SECONDS = 10_449.0
+
+TIMESTEPS = 100
+SHAPE = (1, 2, 8192, 256)
+
+
+def main():
+    import jax
+
+    # persistent compile cache keeps repeat benches from paying the (large)
+    # XLA compile cost every round
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
+
+    from ddim_audio_tpu.config import load_config
+    from ddim_audio_tpu.diffusion.schedules import (
+        make_schedule,
+        make_timestep_subsequence,
+    )
+    from ddim_audio_tpu.models.unet import ModelConfig, apply_model, init_model
+    from ddim_audio_tpu.sampling.driver import ScanSampler
+
+    config = load_config("configs/audio.yml")
+    cfg = ModelConfig.from_config(config)
+    sched = make_schedule(
+        config.diffusion.beta_schedule,
+        config.diffusion.beta_start,
+        config.diffusion.beta_end,
+        config.diffusion.num_diffusion_timesteps,
+    )
+    params = init_model(jax.random.key(0), cfg)
+
+    def denoise(x, t):
+        return apply_model(params, x, t, cfg, train=False)
+
+    sampler = ScanSampler(denoise, kind="generalized", scan_chunk=TIMESTEPS)
+    seq = make_timestep_subsequence(sched.num_timesteps, TIMESTEPS, "uniform")
+    x = jax.random.normal(jax.random.key(1), SHAPE, jax.numpy.float32)
+
+    # warm-up: compile + one full run
+    out = sampler.sample_last(x, seq, sched, eta=0.0)
+    out.block_until_ready()
+
+    # timed runs
+    runs = []
+    for _ in range(2):
+        t0 = time.time()
+        out = sampler.sample_last(x, seq, sched, eta=0.0)
+        out.block_until_ready()
+        runs.append(time.time() - t0)
+    value = min(runs)
+
+    print(
+        json.dumps(
+            {
+                "metric": "ddim_100step_b1_t8192_per_clip_wall_clock",
+                "value": round(value, 3),
+                "unit": "s",
+                "vs_baseline": round(TORCH_CPU_100STEP_SECONDS / value, 1),
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
