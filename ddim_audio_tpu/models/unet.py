@@ -63,6 +63,12 @@ class ModelConfig:
     # train step needs ~25 GB of HLO temps without it vs ~16 GB of HBM on a
     # v5e chip (jax.checkpoint trades ~30% flops for activation memory).
     remat: bool = True
+    # Resblock conv implementation for inference: "auto" uses the fused
+    # flat-layout Pallas kernels (ops/flat_resblock.py) on TPU for stages
+    # whose channel count divides 128 (XLA lane-pads those 2-4×); "xla"
+    # forces lax convs everywhere. Training always uses XLA convs (the
+    # Pallas path is forward-only).
+    conv_impl: str = "auto"
 
     @classmethod
     def from_config(cls, config):
@@ -79,6 +85,7 @@ class ModelConfig:
             num_timesteps=config.diffusion.num_diffusion_timesteps,
             dtype=resolve_dtype(getattr(m, "dtype", None)),
             transformers=m.transformers,
+            conv_impl=getattr(m, "conv_impl", "auto"),
         )
 
     def __hash__(self):
@@ -87,6 +94,7 @@ class ModelConfig:
         # collide as jit static args.
         return hash((self.channels, self.f_size, self.ch, self.krn, self.res,
                      self.num_timesteps, str(self.dtype), self.remat,
+                     self.conv_impl,
                      repr(vars(self.transformers)) if self.transformers else ""))
 
     def __eq__(self, other):
@@ -201,6 +209,31 @@ def apply_model(params, x, t, cfg: ModelConfig, *, train: bool = False, rng=None
             for k in set(cfg.krn)
         }
 
+    # Fused flat-layout Pallas resblocks (forward-only) for the stages XLA
+    # lane-pads; only usable with k=3 and C | 128.
+    use_flat = (
+        not train
+        and (cfg.conv_impl == "pallas"
+             or (cfg.conv_impl == "auto" and jax.default_backend() == "tpu"))
+    )
+
+    def run_blocks(stage, krn, h):
+        if use_flat and krn == 3:
+            from ..ops.flat_resblock import resblock_flat
+            from ..ops.pallas.conv_flat import supports_flat
+
+            b_, t_, f_, c_ = h.shape
+            if supports_flat(c_, f_):
+                hf = h.reshape(b_, t_, f_ * c_)
+                for block in stage["blocks"]:
+                    hf = resblock_flat(
+                        block, hf, next(temb_iter), f=f_, c=c_
+                    )
+                return hf.reshape(b_, t_, f_, c_)
+        for block in stage["blocks"]:
+            h = block_apply[krn](block, h, next(temb_iter))
+        return h
+
     # Down path; skip state captured after every entry (7 tensors).
     hidden = []
     h = conv_apply(params["down_modules"]["head"], x, padding=1)
@@ -208,8 +241,7 @@ def apply_model(params, x, t, cfg: ModelConfig, *, train: bool = False, rng=None
     for stage, krn in zip(params["down_modules"]["stages"], cfg.krn):
         if "down" in stage:
             h = conv_apply(stage["down"], h, stride=2, padding=1)
-        for block in stage["blocks"]:
-            h = block_apply[krn](block, h, next(temb_iter))
+        h = run_blocks(stage, krn, h)
         hidden.append(h)
 
     # Bottleneck: [B,T',F',C] → tokens [B,T',C·F'] with (C,F) flatten order
@@ -231,8 +263,7 @@ def apply_model(params, x, t, cfg: ModelConfig, *, train: bool = False, rng=None
         reversed(params["up_modules"]["stages"]), reversed(cfg.krn)
     ):
         h = h + hidden.pop()
-        for block in stage["blocks"]:
-            h = block_apply[krn](block, h, next(temb_iter))
+        h = run_blocks(stage, krn, h)
         if "up" in stage:
             h = conv_transpose_apply(stage["up"], h, stride=2, padding=1)
     h = h + hidden.pop()

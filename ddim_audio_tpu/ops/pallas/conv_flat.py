@@ -1,0 +1,261 @@
+"""Pallas TPU kernel: fused 3×3 SAME conv over flat-packed [T, F·C]
+activations.
+
+Why this exists (measured on a v5e chip, see BASELINE.md): XLA stores NHWC
+activations with the channel dim on the 128-lane minor axis, so the
+reference model's early stages (C = 32/64) are lane-padded 4×/2× — every
+byte of HBM traffic and every MXU pass pays the padding. This kernel keeps
+activations in an UNPADDED flat layout [T, F·C] (F·C = 8192 at audio.yml
+scale — a perfect multiple of 128 lanes) and computes the conv as one deep
+matmul per tile:
+
+- taps are (row offset dt ∈ {0,1,2}) × (128-lane group offset dg ∈ {0,1,2});
+  sub-group f-offsets live in the packed weights' off-diagonal C×C blocks
+  (``pack_conv_weights``), so every in-kernel lane move is tile-aligned
+  (Mosaic cannot rotate/concat 16-bit data at sub-128 offsets);
+- row shifts are tiny [TT, TT] shift-matrix matmuls (sublane rotate is
+  32-bit-only); halo rows come from aligned 8-row neighbor-block DMAs;
+- an in-VMEM im2col tile [TT·(FC/128), 9·128] contracts against the packed
+  [9·128, 128] weights — one MXU-friendly K=1152 matmul per tile;
+- fusions: a per-lane affine prologue (+ optional SiLU) applies GroupNorm
+  (from precomputed stats) to the conv input *including halos* — boundary
+  zero-rows stay zero, matching the reference's pad-after-norm semantics —
+  and the epilogue adds a per-batch vector (bias or timestep embedding)
+  and/or SiLU before the output store.
+
+Measured (fp32/bf16, [8192, 8192] flat): 4.4 / 3.2 ms vs 9.2 / 8.3 ms for
+the XLA NHWC conv. Requires C | 128 and 128 | F·C. Forward-only (sampling
+path); training uses the XLA convs until a custom VJP lands.
+
+Reference behavior accelerated: the stride-1 convs of Residual_Block
+(reference models/diffusion.py:28-40); numerics identical to
+lax.conv_general_dilated at fp32 (tested).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANES = 128
+
+
+def supports_flat(c: int, f: int) -> bool:
+    return LANES % c == 0 and (f * c) % LANES == 0
+
+
+def pack_conv_weights(w: np.ndarray, dtype=jnp.float32) -> jax.Array:
+    """w [3, 3, C, C] (HWIO) → [9·128, 128] for taps (dt, dg).
+
+    For output lane (fo·C + co) and conv tap (dt, df):
+        o = fo + df - 1, dg = 1 + floor(o / fpg), fi = o mod fpg
+        W2[(dt·3+dg)·128 + fi·C + ci, fo·C + co] = w[dt, df, ci, co]
+    with fpg = 128/C f-positions per 128-lane group. F-boundary zero padding
+    falls out of the zero-filled group shifts at row ends."""
+    kh, kw, c, co = w.shape
+    assert kh == 3 and kw == 3 and c == co and LANES % c == 0
+    fpg = LANES // c
+    # jnp (traceable) so packing can run inside jit on live params; it's a
+    # handful of static-index block writes, constant-folded by XLA.
+    w2 = jnp.zeros((9 * LANES, LANES), jnp.float32)
+    for dt in range(3):
+        for df in range(3):
+            for fo in range(fpg):
+                o = fo + df - 1
+                dg = 1 + (o // fpg if o >= 0 else -1)
+                fi = o % fpg
+                j = dt * 3 + dg
+                w2 = w2.at[
+                    j * LANES + fi * c : j * LANES + (fi + 1) * c,
+                    fo * c : (fo + 1) * c,
+                ].add(w[dt, df].astype(jnp.float32))
+    return w2.astype(dtype)
+
+
+def _shift_groups(rows, dg: int):
+    """Shift flat rows by whole 128-lane groups with zero fill (tile-aligned
+    concat — works for all dtypes). dg ∈ {0,1,2}: source group g + dg - 1."""
+    if dg == 1:
+        return rows
+    z = jnp.zeros((rows.shape[0], LANES), rows.dtype)
+    if dg == 2:  # read from higher f groups
+        return jnp.concatenate([rows[:, LANES:], z], axis=1)
+    return jnp.concatenate([z, rows[:, :-LANES]], axis=1)  # dg == 0
+
+
+def _conv_kernel(refs, *, tile_t, fc, n_t, has_pre, pre_silu, has_add,
+                 post_silu):
+    it = iter(refs)
+    x_hbm = next(it)
+    w_ref = next(it)
+    pre_ref = next(it) if has_pre else None
+    add_ref = next(it) if has_add else None
+    out_ref = next(it)
+    main_buf, top_buf, bot_buf, sem = it
+
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    t0 = pl.multiple_of(i * tile_t, 8)
+
+    def prologue(rows):
+        if pre_ref is not None:
+            rows = (rows.astype(jnp.float32) * pre_ref[0, 0, :]
+                    + pre_ref[0, 1, :])
+        if pre_silu:
+            rows = jax.nn.silu(rows.astype(jnp.float32))
+        return rows.astype(main_buf.dtype)
+
+    main = pltpu.make_async_copy(
+        x_hbm.at[b, pl.ds(t0, tile_t)], main_buf, sem.at[0]
+    )
+    main.start()
+
+    # halo loads must be 8-row (sublane-tile) aligned in both HBM and VMEM:
+    # fetch whole neighbor 8-row blocks and use their edge rows. The
+    # prologue applies to REAL halo rows only — boundary zeros stay zero
+    # (the reference pads after norm/SiLU).
+    @pl.when(i > 0)
+    def _():
+        top = pltpu.make_async_copy(
+            x_hbm.at[b, pl.ds(pl.multiple_of(t0 - 8, 8), 8)], top_buf,
+            sem.at[1],
+        )
+        top.start()
+        top.wait()
+        top_buf[:, :] = prologue(top_buf[:, :])
+
+    @pl.when(i == 0)
+    def _():
+        top_buf[:, :] = jnp.zeros((8, fc), top_buf.dtype)
+
+    @pl.when(i < n_t - 1)
+    def _():
+        bot = pltpu.make_async_copy(
+            x_hbm.at[b, pl.ds(pl.multiple_of(t0 + tile_t, 8), 8)], bot_buf,
+            sem.at[2],
+        )
+        bot.start()
+        bot.wait()
+        bot_buf[:, :] = prologue(bot_buf[:, :])
+
+    @pl.when(i == n_t - 1)
+    def _():
+        bot_buf[:, :] = jnp.zeros((8, fc), bot_buf.dtype)
+
+    main.wait()
+    mid = prologue(main_buf[:])
+
+    row_idx = jax.lax.broadcasted_iota(jnp.int32, (tile_t, fc), 0)
+    # Row (sublane) shifts as tiny shift-matrix matmuls — Mosaic's sublane
+    # dynamic_rotate is 32-bit-only, and a [TT, TT] matmul is free next to
+    # the main contraction.
+    r = jax.lax.broadcasted_iota(jnp.int32, (tile_t, tile_t), 0)
+    s = jax.lax.broadcasted_iota(jnp.int32, (tile_t, tile_t), 1)
+    shift_down = (r == s + 1).astype(mid.dtype)  # out[i] = in[i-1]
+    shift_up = (r == s - 1).astype(mid.dtype)  # out[i] = in[i+1]
+    up = jnp.where(
+        row_idx == 0,
+        jnp.broadcast_to(top_buf[7:8, :], (tile_t, fc)),
+        jnp.dot(shift_down, mid, preferred_element_type=jnp.float32
+                ).astype(mid.dtype),
+    )
+    down = jnp.where(
+        row_idx == tile_t - 1,
+        jnp.broadcast_to(bot_buf[0:1, :], (tile_t, fc)),
+        jnp.dot(shift_up, mid, preferred_element_type=jnp.float32
+                ).astype(mid.dtype),
+    )
+
+    groups = fc // LANES
+    cols = []
+    for rows in (up, mid, down):  # dt = 0, 1, 2
+        for dg in range(3):
+            cols.append(_shift_groups(rows, dg).reshape(tile_t * groups, LANES))
+    im2col = jnp.concatenate(cols, axis=1)  # [TT·groups, 9·128]
+
+    acc = jnp.dot(im2col, w_ref[:], preferred_element_type=jnp.float32)
+    out = acc.reshape(tile_t, fc)
+    if add_ref is not None:
+        out = out + add_ref[0, :]
+    if post_silu:
+        out = jax.nn.silu(out)
+    out_ref[0] = out.astype(out_ref.dtype)
+
+
+def conv3x3_flat(x, w2, bias_flat=None, *, c: int, tile_t: int = 32,
+                 pre=None, pre_silu: bool = False, add=None,
+                 post_silu: bool = False):
+    """Fused flat conv. x: [B, T, F·C]; w2: packed [9·128, 128] weights.
+
+    pre: optional (scale [F·C], shift [F·C]) fp32 — per-lane affine applied
+         to the input (GroupNorm folded to scale/shift), before pre_silu.
+    add: optional [F·C] or [B, F·C] fp32 added to the conv output (bias or
+         per-sample timestep embedding), before post_silu.
+    bias_flat: shorthand for add= (kept for the plain-conv call sites)."""
+    bsz, t, fc = x.shape
+    if fc % LANES or LANES % c:
+        raise ValueError(f"need C|128 and 128|F·C, got C={c}, FC={fc}")
+    while t % tile_t:
+        tile_t //= 2
+    n_t = t // tile_t
+
+    if add is None and bias_flat is not None:
+        add = bias_flat
+    has_pre = pre is not None
+    has_add = add is not None
+
+    in_specs = [
+        pl.BlockSpec(memory_space=pl.ANY),  # x in HBM; manual DMA
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # packed weights
+    ]
+    args = [x, w2]
+    if has_pre:
+        scale, shift = pre  # [FC] or [B, FC] each (GroupNorm is per-sample)
+        scale = jnp.asarray(scale, jnp.float32)
+        shift = jnp.asarray(shift, jnp.float32)
+        if scale.ndim == 1:
+            scale, shift = scale[None], shift[None]
+        pre_arr = jnp.stack([scale, shift], axis=1)  # [B_pre, 2, FC]
+        pre_pb = pre_arr.shape[0] == bsz and bsz > 1
+        pidx = (lambda b, i: (b, 0, 0)) if pre_pb else (lambda b, i: (0, 0, 0))
+        in_specs.append(
+            pl.BlockSpec((1, 2, fc), pidx, memory_space=pltpu.VMEM)
+        )
+        args.append(pre_arr)
+    if has_add:
+        add = jnp.asarray(add, jnp.float32)
+        if add.ndim == 1:
+            add = add.reshape(1, fc)
+        per_batch = add.shape[0] == bsz and bsz > 1
+        idx = (lambda b, i: (b, 0)) if per_batch else (lambda b, i: (0, 0))
+        in_specs.append(
+            pl.BlockSpec((1, fc), idx, memory_space=pltpu.VMEM)
+        )
+        args.append(add)
+
+    kern = functools.partial(
+        _conv_kernel, tile_t=tile_t, fc=fc, n_t=n_t, has_pre=has_pre,
+        pre_silu=pre_silu, has_add=has_add, post_silu=post_silu,
+    )
+
+    return pl.pallas_call(
+        lambda *refs: kern(refs),
+        grid=(bsz, n_t),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (1, tile_t, fc), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((bsz, t, fc), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((tile_t, fc), x.dtype),
+            pltpu.VMEM((8, fc), x.dtype),
+            pltpu.VMEM((8, fc), x.dtype),
+            pltpu.SemaphoreType.DMA((3,)),
+        ],
+    )(*args)
