@@ -57,24 +57,33 @@ def main():
     )
     params = init_model(jax.random.key(0), cfg)
 
-    def denoise(x, t):
-        return apply_model(params, x, t, cfg, train=False)
+    def denoise(p, x, t):
+        return apply_model(p, x, t, cfg, train=False)
 
     sampler = ScanSampler(denoise, kind="generalized", scan_chunk=TIMESTEPS)
     seq = make_timestep_subsequence(sched.num_timesteps, TIMESTEPS, "uniform")
     x = jax.random.normal(jax.random.key(1), SHAPE, jax.numpy.float32)
 
-    # warm-up: compile + one full run
-    out = sampler.sample_last(x, seq, sched, eta=0.0)
-    out.block_until_ready()
+    def fetch(o):
+        # block_until_ready can return early through the remote-TPU tunnel;
+        # a host fetch of a reduction cannot lie about completion
+        return float(jax.numpy.sum(jax.numpy.abs(o)))
 
-    # timed runs
+    # warm-up: compile + one full run
+    out = sampler.sample_last(x, seq, sched, eta=0.0, params=params)
+    fetch(out)
+
+    # timed runs, data-dependent chaining: the remote-TPU runtime can elide
+    # re-execution of byte-identical calls, so each run consumes the previous
+    # run's (renormalized) output as its input noise
+    renorm = jax.jit(lambda o: o * jax.lax.rsqrt(jax.numpy.mean(o * o) + 1e-8))
     runs = []
     for _ in range(2):
         t0 = time.time()
-        out = sampler.sample_last(x, seq, sched, eta=0.0)
-        out.block_until_ready()
+        out = sampler.sample_last(x, seq, sched, eta=0.0, params=params)
+        fetch(out)
         runs.append(time.time() - t0)
+        x = renorm(out)
     value = min(runs)
 
     print(

@@ -152,10 +152,11 @@ class Diffusion:
         # EMA weights for eval (reference runners/diffusion.py:309-313)
         return state.ema if config.model.ema else state.params
 
-    def _denoise_fn(self, params):
+    @property
+    def _denoise_fn(self):
         cfg = self.model_cfg
 
-        def fn(x, t):
+        def fn(params, x, t):
             return apply_model(params, x, t, cfg, train=False)
 
         return fn
@@ -243,7 +244,7 @@ class Diffusion:
             self.num_timesteps, args.timesteps, args.skip_type
         )
         sampler = ScanSampler(
-            self._denoise_fn(params),
+            self._denoise_fn,
             kind=args.sample_type,
             scan_chunk=int(getattr(self.config.sampling, "scan_chunk", 100)),
         )
@@ -254,6 +255,7 @@ class Diffusion:
             eta=args.eta,
             select_index=select_index,
             key=jax.random.key(args.seed + 1),
+            params=params,
         )
 
     # ------------------------------------------------------------------- test

@@ -58,8 +58,11 @@ def _chunk_plan(num_steps, selected, scan_chunk, max_slots):
 class ScanSampler:
     """Runs DDIM ("generalized") or DDPM ("ddpm_noisy") sampling.
 
-    denoise_fn(x [B,C,T,F], t int32 [B]) -> eps [B,C,T,F]; already closed
-    over params (and over any pjit sharding).
+    denoise_fn(params, x [B,C,T,F], t int32 [B]) -> eps [B,C,T,F]. params is
+    passed explicitly through the jitted chunk programs — closing over the
+    47M-param pytree would bake it into the XLA program as constants, which
+    both slows compilation dramatically and forces a recompile per weight set
+    (raw vs EMA).
     """
 
     def __init__(self, denoise_fn, *, kind: str = "generalized", scan_chunk: int = 100):
@@ -78,9 +81,9 @@ class ScanSampler:
         if key_ not in self._cache:
             step = self._make_step(with_noise, ext_noise)
 
-            def fn(x, coeffs, rng):
+            def fn(params, x, coeffs, rng):
                 def body(x, inp):
-                    _, x_next = step(x, inp, rng)
+                    _, x_next = step(params, x, inp, rng)
                     return x_next, None
 
                 x, _ = jax.lax.scan(body, x, coeffs)
@@ -94,14 +97,14 @@ class ScanSampler:
         if key_ not in self._cache:
             step = self._make_step(with_noise, ext_noise)
 
-            def fn(x, coeffs, x0_slots, xt_slots, rng):
+            def fn(params, x, coeffs, x0_slots, xt_slots, rng):
                 x0_buf = jnp.zeros((n_slots + 1,) + shape, dtype)
                 xt_buf = jnp.zeros((n_slots + 1,) + shape, dtype)
 
                 def body(carry, inp):
                     x, x0_buf, xt_buf = carry
                     coeff, x0_slot, xt_slot = inp
-                    x0, x_next = step(x, coeff, rng)
+                    x0, x_next = step(params, x, coeff, rng)
                     x0_buf = jax.lax.dynamic_update_index_in_dim(
                         x0_buf, x0, x0_slot, 0
                     )
@@ -122,14 +125,14 @@ class ScanSampler:
         denoise_fn = self.denoise_fn
         kind = self.kind
 
-        def step(x, inp, rng):
+        def step(params, x, inp, rng):
             coeff = inp
             noise = None
             if ext_noise:
                 coeff, noise = inp[:-1], inp[-1]
             t = coeff[0]
             tb = jnp.broadcast_to(t, (x.shape[0],)).astype(jnp.int32)
-            eps = denoise_fn(x, tb)
+            eps = denoise_fn(params, x, tb)
             if with_noise and noise is None:
                 kglobal = coeff[-1]  # appended global step index
                 noise = jax.random.normal(
@@ -157,7 +160,7 @@ class ScanSampler:
 
     # ---- public API -------------------------------------------------------
 
-    def sample_last(self, x, seq, schedule, *, eta=0.0, key=None):
+    def sample_last(self, x, seq, schedule, *, eta=0.0, key=None, params=None):
         """Fast path: return only the final x (stays on device).
         Covers sampling.last_only (configs/audio.yml:71 — never consumed by
         the reference; first-class here)."""
@@ -169,7 +172,7 @@ class ScanSampler:
             stop = min(start + self.scan_chunk, K)
             packed = self._pack(coeffs, start, stop, with_noise)
             fn = self._fast_chunk(with_noise, False, x.shape, x.dtype)
-            x = fn(x, packed, rng)
+            x = fn(params, x, packed, rng)
         return x
 
     def sample(
@@ -182,6 +185,7 @@ class ScanSampler:
         select_index=None,
         key=None,
         noise_override=None,
+        params=None,
     ):
         """Full-parity path: returns (xs, x0_preds) as lists of host numpy
         arrays, xs[0] = the input noise (reference functions/denoising.py:17).
@@ -207,7 +211,7 @@ class ScanSampler:
             n_slots = len(kept)
             if n_slots == 0:
                 fn = self._fast_chunk(with_noise, ext_noise, x.shape, x.dtype)
-                x = fn(x, packed, rng)
+                x = fn(params, x, packed, rng)
                 continue
             slot_of = {k: i for i, k in enumerate(kept)}
             slots = np.array(
@@ -215,7 +219,7 @@ class ScanSampler:
             )
             fn = self._buffered_chunk(n_slots, with_noise, ext_noise, x.shape, x.dtype)
             x, x0_buf, xt_buf = fn(
-                x, packed, jnp.asarray(slots), jnp.asarray(slots), rng
+                params, x, packed, jnp.asarray(slots), jnp.asarray(slots), rng
             )
             x0_host, xt_host = np.asarray(x0_buf), np.asarray(xt_buf)
             for i in range(n_slots):

@@ -171,7 +171,7 @@ def test_beta_embedding_parity():
     import sys
 
     if torch_ref.REFERENCE not in sys.path:
-        sys.path.insert(0, torch_ref.REFERENCE)
+        sys.path.append(torch_ref.REFERENCE)
     from models.diffusion import BetaEmbedding
 
     torch.manual_seed(3)

@@ -17,11 +17,11 @@ SCHED = make_schedule("linear", 1e-4, 0.02, 50)
 SHAPE = (2, 2, 8, 16)
 
 
-def _zero_denoiser(x, t):
+def _zero_denoiser(params, x, t):
     return jnp.zeros_like(x)
 
 
-def _linear_denoiser(x, t):
+def _linear_denoiser(params, x, t):
     return 0.1 * x
 
 
@@ -144,8 +144,8 @@ def ref_setup():
     cfg = tiny_model_config()
     params = jax.tree_util.tree_map(jnp.asarray, params)
 
-    def denoise(x, t):
-        return apply_model(params, x, t, cfg)
+    def denoise(p, x, t):
+        return apply_model(p if p is not None else params, x, t, cfg)
 
     return model, denoise
 
@@ -200,7 +200,7 @@ def _ref_generalized(model, x, seq, alphas, eta, noises, select_index):
     import torch
 
     if torch_ref.REFERENCE not in sys.path:
-        sys.path.insert(0, torch_ref.REFERENCE)
+        sys.path.append(torch_ref.REFERENCE)
     from functions.denoising import generalized_steps
 
     it = iter(noises)
@@ -226,7 +226,7 @@ def _ref_ddpm(model, x, seq, betas, noises):
     import torch
 
     if torch_ref.REFERENCE not in sys.path:
-        sys.path.insert(0, torch_ref.REFERENCE)
+        sys.path.append(torch_ref.REFERENCE)
     from functions.denoising import ddpm_steps
 
     it = iter(noises)

@@ -118,7 +118,7 @@ def test_loss_parity_with_reference(tiny_cfg):
     import torch
 
     if torch_ref.REFERENCE not in sys.path:
-        sys.path.insert(0, torch_ref.REFERENCE)
+        sys.path.append(torch_ref.REFERENCE)
     from functions.losses import noise_estimation_loss as ref_loss
 
     torch.manual_seed(0)

@@ -54,7 +54,7 @@ def build_reference_model(ch, krn, res, f_size, channels, num_timesteps, tkwargs
     """Instantiate the reference Model (models/diffusion.py:170) on CPU."""
     _install_stubs()
     if REFERENCE not in sys.path:
-        sys.path.insert(0, REFERENCE)
+        sys.path.append(REFERENCE)
     from models.diffusion import Model as RefModel  # reference module
 
     from ddim_audio_tpu.utils.namespace import dict2namespace
