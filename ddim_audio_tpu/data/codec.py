@@ -105,12 +105,19 @@ def limit_length_img(img: np.ndarray, max_len: int = 4096) -> np.ndarray:
 
 
 def read_audio(path: str, target_samplerate: int) -> np.ndarray:
-    """Load .wav (scipy) or .npy (raw float waveform) → float32 [-1, 1] mono,
-    linearly resampled to target_samplerate."""
+    """Load .wav or .npy (raw float waveform) → float32 [-1, 1] mono,
+    linearly resampled to target_samplerate. WAVs decode through the native
+    C++ library (native/audio_io.cpp) when available, else scipy."""
     if path.endswith(".npy"):
         wave = np.asarray(np.load(path), np.float32)
         sr = target_samplerate
     else:
+        from . import native_io
+
+        if native_io.available():
+            out = native_io.load_wav(path, target_samplerate)
+            if out is not None:
+                return out
         from scipy.io import wavfile
 
         sr, wave = wavfile.read(path)
