@@ -83,6 +83,8 @@ def _shift_groups(rows, dg: int):
     concat — works for all dtypes). dg ∈ {0,1,2}: source group g + dg - 1."""
     if dg == 1:
         return rows
+    if rows.shape[1] == LANES:  # single group: neighbor groups are all zeros
+        return jnp.zeros_like(rows)
     z = jnp.zeros((rows.shape[0], LANES), rows.dtype)
     if dg == 2:  # read from higher f groups
         return jnp.concatenate([rows[:, LANES:], z], axis=1)
@@ -182,7 +184,7 @@ def _conv_kernel(refs, *, tile_t, fc, n_t, has_pre, pre_silu, has_add,
     acc = jnp.dot(im2col, w_ref[:], preferred_element_type=jnp.float32)
     out = acc.reshape(tile_t, fc)
     if add_ref is not None:
-        out = out + add_ref[0, :]
+        out = out + add_ref[0, 0, :]
     if post_silu:
         out = jax.nn.silu(out)
     out_ref[0] = out.astype(out_ref.dtype)
@@ -233,9 +235,12 @@ def conv3x3_flat(x, w2, bias_flat=None, *, c: int, tile_t: int = 32,
         if add.ndim == 1:
             add = add.reshape(1, fc)
         per_batch = add.shape[0] == bsz and bsz > 1
-        idx = (lambda b, i: (b, 0)) if per_batch else (lambda b, i: (0, 0))
+        # singleton middle axis: a (1, 1, fc) block is legal for any batch
+        # size (block dims must divide 8/128 or equal the array dims)
+        add = add.reshape(add.shape[0], 1, fc)
+        idx = (lambda b, i: (b, 0, 0)) if per_batch else (lambda b, i: (0, 0, 0))
         in_specs.append(
-            pl.BlockSpec((1, fc), idx, memory_space=pltpu.VMEM)
+            pl.BlockSpec((1, 1, fc), idx, memory_space=pltpu.VMEM)
         )
         args.append(add)
 

@@ -114,25 +114,38 @@ class Diffusion:
                 save_checkpoint(args.log_path, state, step, epoch=epoch)
 
         epoch = start_epoch
-        if config.training.n_epochs is not None:
-            for epoch in range(start_epoch, config.training.n_epochs):
-                for x, _ in batch_iterator(
-                    dataset, config.training.batch_size, shuffle=True,
-                    seed=args.seed + epoch,
-                ):
-                    step += 1
-                    run_step(x, epoch, step)
-        else:
-            while step < config.training.n_iters:
-                for x, _ in batch_iterator(
-                    dataset, config.training.batch_size, shuffle=True,
-                    seed=args.seed + epoch,
-                ):
-                    step += 1
-                    run_step(x, epoch, step)
-                    if step >= config.training.n_iters:
-                        break
-                epoch += 1
+        try:
+            if config.training.n_epochs is not None:
+                for epoch in range(start_epoch, config.training.n_epochs):
+                    for x, _ in batch_iterator(
+                        dataset, config.training.batch_size, shuffle=True,
+                        seed=args.seed + epoch,
+                    ):
+                        step += 1
+                        run_step(x, epoch, step)
+            else:
+                while step < config.training.n_iters:
+                    for x, _ in batch_iterator(
+                        dataset, config.training.batch_size, shuffle=True,
+                        seed=args.seed + epoch,
+                    ):
+                        step += 1
+                        run_step(x, epoch, step)
+                        if step >= config.training.n_iters:
+                            break
+                    epoch += 1
+        except BaseException:
+            # failure containment (the reference swallows exceptions and
+            # loses all progress since the last snapshot, SURVEY.md §5):
+            # persist an emergency snapshot, then propagate
+            try:
+                path = save_checkpoint(
+                    args.log_path, state, step, epoch=epoch, tag="emergency"
+                )
+                logging.error("training interrupted; emergency snapshot: %s", path)
+            except Exception:
+                logging.exception("emergency snapshot failed")
+            raise
         flush_metrics()
         save_checkpoint(args.log_path, state, step, epoch=epoch)
 
@@ -181,11 +194,61 @@ class Diffusion:
         raise NotImplementedError("only the AUDIO dataset is supported")
 
     def sample_interpolation(self, params):
-        if self.config.data.dataset == "AUDIO":
-            raise NotImplementedError(
-                "sample_interpolation with AUDIO dataset is not implemented"
+        """Slerp interpolation in noise space → per-alpha spectrogram/WAV.
+
+        The reference declares this path but raises NotImplementedError for
+        AUDIO (runners/diffusion.py:468-471, its slerp driver :424-459 is
+        image-only); implemented here as a capability extension using the
+        reference's slerp and alpha grid (0.0 … 1.0 step 0.1)."""
+        args, config = self.args, self.config
+        shape = (
+            1,
+            config.model.channels,
+            config.sampling.t_size,
+            config.model.f_size,
+        )
+        k1, k2 = jax.random.split(jax.random.key(args.seed))
+        z1 = jax.random.normal(k1, shape, jnp.float32)
+        z2 = jax.random.normal(k2, shape, jnp.float32)
+
+        theta = jnp.arccos(
+            jnp.sum(z1 * z2) / (jnp.linalg.norm(z1) * jnp.linalg.norm(z2))
+        )
+        alphas = np.arange(0.0, 1.01, 0.1, dtype=np.float32)
+        zs = jnp.concatenate(
+            [
+                jnp.sin((1 - a) * theta) / jnp.sin(theta) * z1
+                + jnp.sin(a * theta) / jnp.sin(theta) * z2
+                for a in alphas
+            ],
+            axis=0,
+        )
+
+        _, x0_preds = self.sample_image(zs, params, select_index=[-1])
+        out = np.asarray(x0_preds[-1])  # [11, C, T, F] final x0 predictions
+        if config.sampling.denoise:
+            out = np.asarray(denoise_2d(jnp.asarray(out)))
+        out = out.transpose(0, 3, 2, 1)  # → [N, F, T, C]
+
+        from PIL import Image
+        from scipy.io.wavfile import write as WAV_write
+
+        for i, img in enumerate(out):
+            path = os.path.join(args.image_folder, f"interp_{i:02d}")
+            Image.fromarray(limit_length_img(pfft2img(img))).save(path + ".png")
+            wav = pfft2wav(
+                img,
+                config.sampling.virtual_samplerate,
+                dtype=np.int32,
+                HPI=config.sampling.HPI,
             )
-        raise NotImplementedError("only the AUDIO dataset is supported")
+            WAV_write(
+                path + ".wav",
+                config.data.dataset_kwargs.virtual_samplerate,
+                wav,
+            )
+        logging.info("wrote %d interpolation points to %s", len(out),
+                     args.image_folder)
 
     def sample_sequence(self, params):
         args, config = self.args, self.config
@@ -199,6 +262,10 @@ class Diffusion:
             ),
             jnp.float32,
         )
+        # data-parallel batched sampling: shard samples across the mesh
+        # (BASELINE.json config row 5 — no reference equivalent exists)
+        if self.mesh is not None and x.shape[0] % self.mesh.shape["dp"] == 0:
+            x = shard_batch(self.mesh, x)
 
         if args.sequence in (-1, 0):
             select_index = set(range(args.timesteps))

@@ -106,6 +106,20 @@ def test_failed_run_exits_nonzero(workspace, tmp_path):
     assert code == 1
 
 
+def test_interpolation_cli(workspace):
+    """--interpolation for AUDIO: a capability the reference declares but
+    raises NotImplementedError on (runners/diffusion.py:469-471)."""
+    ws, cfg_path = workspace
+    exp = str(ws / "exp")
+    code = _run(["--config", cfg_path, "--doc", "smoke", "--exp", exp,
+                 "--ni", "--seed", "11", "--sample", "--interpolation",
+                 "--timesteps", "5", "-i", "smoke_interp"])
+    assert code == 0
+    img_dir = os.path.join(exp, "image_samples", "smoke_interp")
+    wavs = [f for f in os.listdir(img_dir) if f.endswith(".wav")]
+    assert len(wavs) == 11  # alpha grid 0.0 … 1.0 step 0.1
+
+
 def test_ddpm_sampling_cli(workspace):
     ws, cfg_path = workspace
     exp = str(ws / "exp")
