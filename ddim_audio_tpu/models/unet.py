@@ -225,10 +225,14 @@ def apply_model(params, x, t, cfg: ModelConfig, *, train: bool = False, rng=None
             b_, t_, f_, c_ = h.shape
             if supports_flat(c_, f_):
                 hf = h.reshape(b_, t_, f_ * c_)
-                for block in stage["blocks"]:
-                    hf = resblock_flat(
-                        block, hf, next(temb_iter), f=f_, c=c_
+                stats = None
+                for k, block in enumerate(stage["blocks"]):
+                    last = k == len(stage["blocks"]) - 1
+                    res = resblock_flat(
+                        block, hf, next(temb_iter), f=f_, c=c_,
+                        in_stats=stats, want_out_stats=not last,
                     )
+                    hf, stats = res if not last else (res, None)
                 return hf.reshape(b_, t_, f_, c_)
         for block in stage["blocks"]:
             h = block_apply[krn](block, h, next(temb_iter))

@@ -92,13 +92,14 @@ def _shift_groups(rows, dg: int):
 
 
 def _conv_kernel(refs, *, tile_t, fc, n_t, has_pre, pre_silu, has_add,
-                 post_silu):
+                 post_silu, want_stats):
     it = iter(refs)
     x_hbm = next(it)
     w_ref = next(it)
     pre_ref = next(it) if has_pre else None
     add_ref = next(it) if has_add else None
     out_ref = next(it)
+    stats_ref = next(it) if want_stats else None
     main_buf, top_buf, bot_buf, sem = it
 
     b = pl.program_id(0)
@@ -189,17 +190,38 @@ def _conv_kernel(refs, *, tile_t, fc, n_t, has_pre, pre_silu, has_add,
         out = jax.nn.silu(out)
     out_ref[0] = out.astype(out_ref.dtype)
 
+    if stats_ref is not None:
+        # per-lane sum / sum-of-squares of the fp32 output, accumulated
+        # across the T grid (the output block index_map revisits (b, 0, 0),
+        # so this block lives in VMEM for the whole b-row of the grid)
+        i0 = pl.program_id(1)
+
+        @pl.when(i0 == 0)
+        def _():
+            stats_ref[0] = jnp.zeros((8, fc), jnp.float32)
+
+        s1 = jnp.sum(out, axis=0, keepdims=True)  # [1, fc]
+        s2 = jnp.sum(out * out, axis=0, keepdims=True)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (8, fc), 0)
+        upd = jnp.where(rows == 0, jnp.broadcast_to(s1, (8, fc)), 0.0)
+        upd = upd + jnp.where(rows == 4, jnp.broadcast_to(s2, (8, fc)), 0.0)
+        stats_ref[0] = stats_ref[0] + upd
+
 
 def conv3x3_flat(x, w2, bias_flat=None, *, c: int, tile_t: int = 32,
                  pre=None, pre_silu: bool = False, add=None,
-                 post_silu: bool = False):
+                 post_silu: bool = False, want_stats: bool = False):
     """Fused flat conv. x: [B, T, F·C]; w2: packed [9·128, 128] weights.
 
     pre: optional (scale [F·C], shift [F·C]) fp32 — per-lane affine applied
          to the input (GroupNorm folded to scale/shift), before pre_silu.
     add: optional [F·C] or [B, F·C] fp32 added to the conv output (bias or
          per-sample timestep embedding), before post_silu.
-    bias_flat: shorthand for add= (kept for the plain-conv call sites)."""
+    bias_flat: shorthand for add= (kept for the plain-conv call sites).
+    want_stats: also return (sum, sum²) of the fp32 output over T per flat
+         lane — the next GroupNorm's statistics for free (saves a full HBM
+         pass per fused resblock stage). Returns (out, s1 [B, F·C],
+         s2 [B, F·C]) instead of just out."""
     bsz, t, fc = x.shape
     if fc % LANES or LANES % c:
         raise ValueError(f"need C|128 and 128|F·C, got C={c}, FC={fc}")
@@ -247,16 +269,32 @@ def conv3x3_flat(x, w2, bias_flat=None, *, c: int, tile_t: int = 32,
     kern = functools.partial(
         _conv_kernel, tile_t=tile_t, fc=fc, n_t=n_t, has_pre=has_pre,
         pre_silu=pre_silu, has_add=has_add, post_silu=post_silu,
+        want_stats=want_stats,
     )
 
-    return pl.pallas_call(
+    out_specs = pl.BlockSpec(
+        (1, tile_t, fc), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
+    )
+    out_shape = jax.ShapeDtypeStruct((bsz, t, fc), x.dtype)
+    if want_stats:
+        out_specs = (
+            out_specs,
+            # index_map revisits (b, 0, 0) for every i → VMEM accumulator
+            pl.BlockSpec(
+                (1, 8, fc), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM
+            ),
+        )
+        out_shape = (
+            out_shape,
+            jax.ShapeDtypeStruct((bsz, 8, fc), jnp.float32),
+        )
+
+    result = pl.pallas_call(
         lambda *refs: kern(refs),
         grid=(bsz, n_t),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec(
-            (1, tile_t, fc), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((bsz, t, fc), x.dtype),
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((tile_t, fc), x.dtype),
             pltpu.VMEM((8, fc), x.dtype),
@@ -264,3 +302,7 @@ def conv3x3_flat(x, w2, bias_flat=None, *, c: int, tile_t: int = 32,
             pltpu.SemaphoreType.DMA((3,)),
         ],
     )(*args)
+    if want_stats:
+        out, stats = result
+        return out, stats[:, 0, :], stats[:, 4, :]
+    return result
