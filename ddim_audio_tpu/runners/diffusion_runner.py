@@ -44,6 +44,18 @@ class Diffusion:
         self.args = args
         self.config = config
         self.model_cfg = ModelConfig.from_config(config)
+        # sampling.dtype overrides the compute dtype for inference only
+        # (e.g. bfloat16 sampling over fp32 training — 107 vs 147 ms/forward
+        # at [1,2,8192,256], BASELINE.md)
+        sdtype = getattr(config.sampling, "dtype", None)
+        if sdtype:
+            import dataclasses
+
+            self.eval_cfg = dataclasses.replace(
+                self.model_cfg, dtype=resolve_dtype(sdtype)
+            )
+        else:
+            self.eval_cfg = self.model_cfg
         self.schedule = make_schedule(
             config.diffusion.beta_schedule,
             config.diffusion.beta_start,
@@ -167,7 +179,7 @@ class Diffusion:
 
     @property
     def _denoise_fn(self):
-        cfg = self.model_cfg
+        cfg = self.eval_cfg
 
         def fn(params, x, t):
             return apply_model(params, x, t, cfg, train=False)
@@ -176,6 +188,12 @@ class Diffusion:
 
     def sample(self):
         args = self.args
+        if getattr(args, "use_pretrained", False):
+            # the reference's pretrained path covers CIFAR10/LSUN only and
+            # raises ValueError otherwise (runners/diffusion.py:317-324)
+            raise ValueError(
+                "--use_pretrained supports no AUDIO checkpoints"
+            )
         params = self._load_eval_params()
         if args.fid:
             self.sample_fid(params)

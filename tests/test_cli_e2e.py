@@ -120,6 +120,28 @@ def test_interpolation_cli(workspace):
     assert len(wavs) == 11  # alpha grid 0.0 … 1.0 step 0.1
 
 
+def test_bf16_sampling_dtype_override(workspace, tmp_path):
+    """sampling.dtype=bfloat16 runs inference in bf16 without touching the
+    training dtype."""
+    ws, cfg_path = workspace
+    with open(cfg_path) as f:
+        raw = yaml.safe_load(f)
+    raw["sampling"]["dtype"] = "bfloat16"
+    cfg2 = tmp_path / "bf16.yml"
+    with open(cfg2, "w") as f:
+        yaml.dump(raw, f)
+    exp = str(ws / "exp")
+    if not os.path.exists(os.path.join(exp, "logs", "smoke", "ckpt.npz")):
+        assert _run(["--config", cfg_path, "--doc", "smoke", "--exp", exp,
+                     "--ni", "--seed", "7"]) == 0
+    code = _run(["--config", str(cfg2), "--doc", "smoke", "--exp", exp,
+                 "--ni", "--seed", "13", "--sample", "--sequence", "2",
+                 "--timesteps", "10", "-i", "smoke_bf16"])
+    assert code == 0
+    img_dir = os.path.join(exp, "image_samples", "smoke_bf16")
+    assert len([f for f in os.listdir(img_dir) if f.endswith(".wav")]) == 2
+
+
 def test_ddpm_sampling_cli(workspace):
     ws, cfg_path = workspace
     exp = str(ws / "exp")
