@@ -1,0 +1,122 @@
+#!/usr/bin/env python
+"""Full benchmark suite — one JSON line per BASELINE.json config row.
+
+(bench.py stays the driver's single-line entry point — row 1 only; this
+script measures every row on the real TPU. ~15 min cold, fast with the
+compile cache.)
+
+Rows (BASELINE.json "configs"):
+1. audio.yml DDIM sampling, eta=0, 100 steps, batch 1   → per-clip seconds
+2. training step (loss + 2 optimizers + EMA), batch 14  → seconds/step
+3. --sequence N intermediate-trajectory sampling         → seconds (10 kept)
+4. ddpm_steps, eta=1, 1000 steps, batched num_samples=2 → seconds
+5. data-parallel batched sampling                        → covered by
+   tests/test_parallel.py on the virtual mesh (this host has 1 chip)
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
+
+    from ddim_audio_tpu.config import load_config
+    from ddim_audio_tpu.diffusion.schedules import (
+        make_schedule,
+        make_timestep_subsequence,
+    )
+    from ddim_audio_tpu.models.unet import ModelConfig, apply_model, init_model
+    from ddim_audio_tpu.sampling.driver import ScanSampler
+    from ddim_audio_tpu.training import init_train_state, make_train_step
+
+    config = load_config("configs/audio.yml")
+    cfg = ModelConfig.from_config(config)
+    sched = make_schedule(
+        config.diffusion.beta_schedule,
+        config.diffusion.beta_start,
+        config.diffusion.beta_end,
+        config.diffusion.num_diffusion_timesteps,
+    )
+    params = init_model(jax.random.key(0), cfg)
+
+    def denoise(p, x, t):
+        return apply_model(p, x, t, cfg, train=False)
+
+    def fetch(o):
+        return float(jnp.sum(jnp.abs(o)))
+
+    def emit(metric, value, unit="s"):
+        print(json.dumps({"metric": metric, "value": round(value, 3),
+                          "unit": unit}), flush=True)
+
+    renorm = jax.jit(lambda o: o * jax.lax.rsqrt(jnp.mean(o * o) + 1e-8))
+
+    # --- row 1: DDIM eta=0, 100 steps, batch 1 ---------------------------
+    sampler = ScanSampler(denoise, kind="generalized", scan_chunk=100)
+    seq100 = make_timestep_subsequence(sched.num_timesteps, 100, "uniform")
+    x = jax.random.normal(jax.random.key(1), (1, 2, 8192, 256), jnp.float32)
+    fetch(sampler.sample_last(x, seq100, sched, eta=0.0, params=params))
+    t0 = time.time()
+    out = sampler.sample_last(x, seq100, sched, eta=0.0, params=params)
+    fetch(out)
+    emit("row1_ddim_eta0_100step_b1_per_clip", time.time() - t0)
+    x = renorm(out)
+
+    # --- row 3: --sequence 10 trajectory (100 steps, 10 kept) -------------
+    idx = np.linspace(1, 100, 10, dtype=np.int32)
+    select = set((100 - idx).tolist())
+    sampler.sample(  # warm the buffered-chunk compile
+        x, seq100, sched, eta=0.0, select_index=select,
+        key=jax.random.key(3), params=params,
+    )
+    t0 = time.time()
+    xs, x0s = sampler.sample(
+        x, seq100, sched, eta=0.0, select_index=select,
+        key=jax.random.key(3), params=params,
+    )
+    assert len(x0s) == 10
+    emit("row3_sequence10_trajectory_100step", time.time() - t0)
+
+    # --- row 4: ddpm eta=1, 1000 steps, batch 2 (last only) ---------------
+    ddpm = ScanSampler(denoise, kind="ddpm_noisy", scan_chunk=100)
+    seq1000 = make_timestep_subsequence(sched.num_timesteps, 1000, "uniform")
+    x2 = jax.random.normal(jax.random.key(4), (2, 2, 8192, 256), jnp.float32)
+    fetch(ddpm.sample_last(x2, seq1000[:100], sched, key=jax.random.key(5),
+                           params=params))  # compile on a short chunk set
+    t0 = time.time()
+    out = ddpm.sample_last(x2, seq1000, sched, key=jax.random.key(5),
+                           params=params)
+    fetch(out)
+    emit("row4_ddpm_1000step_b2", time.time() - t0)
+
+    # --- row 2 (LAST: the train step donates its state, which shares the
+    # params buffers used by the samplers above) --------------------------
+    state, tx = init_train_state(params, config.optimization, use_ema=True)
+    step = make_train_step(cfg, config, sched.alphas_cumprod, tx)
+    x0 = jax.random.normal(jax.random.key(2), (14, 2, 1024, 256)) * 0.5
+    rng = jax.random.key(42)
+    state, m = step(state, x0, rng)
+    float(m["loss"])
+    t0 = time.time()
+    for _ in range(5):
+        state, m = step(state, x0, rng)
+    float(m["loss"])
+    emit("row2_train_step_b14", (time.time() - t0) / 5)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

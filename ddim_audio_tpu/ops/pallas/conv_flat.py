@@ -36,8 +36,6 @@ from __future__ import annotations
 
 import functools
 
-import numpy as np
-
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -50,7 +48,7 @@ def supports_flat(c: int, f: int) -> bool:
     return LANES % c == 0 and (f * c) % LANES == 0
 
 
-def pack_conv_weights(w: np.ndarray, dtype=jnp.float32) -> jax.Array:
+def pack_conv_weights(w, dtype=jnp.float32) -> jax.Array:
     """w [3, 3, C, C] (HWIO) → [9·128, 128] for taps (dt, dg).
 
     For output lane (fo·C + co) and conv tap (dt, df):

@@ -16,8 +16,6 @@ trade (DP gradients ride one psum over ICI).
 
 from __future__ import annotations
 
-import numpy as np
-
 import jax
 from jax.experimental import mesh_utils
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P

@@ -32,7 +32,6 @@ from jax.sharding import PartitionSpec as P
 
 from ..models.embeddings import beta_embedding_apply
 from ..models.fnet import transformer_module_apply
-from ..models.layers import conv_apply, conv_transpose_apply
 from ..models.unet import ModelConfig, _split_points
 
 SP_AXIS = "sp"
