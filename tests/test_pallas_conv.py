@@ -86,6 +86,37 @@ def test_resblock_flat_matches_xla():
     )
 
 
+@pytest.mark.parametrize("c,f", [(32, 8), (16, 16), (64, 4)])
+def test_down_conv_flat_matches_xla(c, f):
+    """Strided k4 s2 p1 down-conv kernel (TPU-verified exact; integration is
+    the round-2 item — ARCHITECTURE.md roadmap)."""
+    from ddim_audio_tpu.ops.pallas.conv_strided import (
+        conv_down_flat,
+        pack_down_weights,
+        supports_flat_down,
+    )
+
+    assert supports_flat_down(c, f)
+    rng = np.random.default_rng(c)
+    B, T = 2, 32
+    x = rng.standard_normal((B, T, f, c)).astype(np.float32)
+    w = (rng.standard_normal((4, 4, c, 2 * c)) * 0.1).astype(np.float32)
+    bias = rng.standard_normal(2 * c).astype(np.float32)
+    ref = np.asarray(
+        conv_apply({"w": jnp.asarray(w), "b": jnp.asarray(bias)},
+                   jnp.asarray(x), stride=2, padding=1)
+    ).reshape(B, T // 2, f * c)
+    with pltpu.force_tpu_interpret_mode():
+        out = conv_down_flat(
+            jnp.asarray(x.reshape(B, T, f * c)),
+            pack_down_weights(jnp.asarray(w)),
+            np.tile(bias, f // 2),
+            c_in=c,
+            tile_t=4,
+        )
+    np.testing.assert_allclose(np.asarray(out), ref, atol=1e-5)
+
+
 def test_full_model_pallas_path_matches_xla(tiny_cfg):
     """apply_model with conv_impl=pallas (interpreted) == the XLA path."""
     import dataclasses
