@@ -123,38 +123,96 @@ def adabelief(
     return optax.GradientTransformation(init, update)
 
 
+class _TorchAmsgradState(NamedTuple):
+    count: jnp.ndarray
+    mu: optax.Updates
+    nu: optax.Updates
+    nu_max: optax.Updates
+
+
+def scale_by_torch_amsgrad(b1, b2, eps) -> optax.GradientTransformation:
+    """torch.optim.Adam(amsgrad=True) semantics: the running max is over the
+    RAW second moment and bias correction uses the current step
+    (``denom = sqrt(max_nu / bc2) + eps``). optax.scale_by_amsgrad instead
+    maxes bias-corrected values — the trajectories diverge."""
+
+    def init(params):
+        z = jax.tree_util.tree_map(jnp.zeros_like, params)
+        return _TorchAmsgradState(
+            jnp.zeros((), jnp.int32), z,
+            jax.tree_util.tree_map(jnp.zeros_like, params),
+            jax.tree_util.tree_map(jnp.zeros_like, params),
+        )
+
+    def update(grads, state, params=None):
+        del params
+        count = state.count + 1
+        bc1 = 1.0 - b1 ** count.astype(jnp.float32)
+        bc2 = 1.0 - b2 ** count.astype(jnp.float32)
+        tm = jax.tree_util.tree_map
+        mu = tm(lambda m, g: b1 * m + (1 - b1) * g, state.mu, grads)
+        nu = tm(lambda v, g: b2 * v + (1 - b2) * jnp.square(g), state.nu, grads)
+        nu_max = tm(jnp.maximum, state.nu_max, nu)
+        updates = tm(
+            lambda m, v: (m / bc1) / (jnp.sqrt(v / bc2) + eps), mu, nu_max
+        )
+        return updates, _TorchAmsgradState(count, mu, nu, nu_max)
+
+    return optax.GradientTransformation(init, update)
+
+
 def build_group_optimizer(group_cfg) -> optax.GradientTransformation:
     """One group's optimizer from its config namespace
-    (configs/audio.yml optimization.optimizer.<group>)."""
+    (configs/audio.yml optimization.optimizer.<group>).
+
+    Argument semantics follow the reference factory
+    (``functions/__init__.py:5-50``), i.e. the torch optimizers: Adam and
+    RMSProp treat ``weight_decay`` as L2-into-gradient (decay added to the
+    gradient *before* the moment updates), AdamW decouples it, and Adam /
+    AdamW honor ``amsgrad``. The reference reads these keys unconditionally
+    (it crashes on configs missing them); here absent keys mean the torch
+    defaults (0.0 / False)."""
     name = group_cfg.optimizer
     warmup = getattr(group_cfg, "warmup", None)
     lr = noam_schedule(group_cfg.lr, warmup) if warmup else group_cfg.lr
+    wd = float(getattr(group_cfg, "weight_decay", 0.0) or 0.0)
+    amsgrad = bool(getattr(group_cfg, "amsgrad", False))
 
-    if name == "Adam":
-        return optax.adam(
-            lr, b1=group_cfg.beta[0], b2=group_cfg.beta[1], eps=group_cfg.eps
+    def l2_into_grad():
+        # torch's non-decoupled weight_decay: g ← g + wd·p, applied before
+        # the optimizer's moment accumulation
+        return [optax.add_decayed_weights(wd)] if wd else []
+
+    if name in ("Adam", "AdamW"):
+        b1, b2, eps = group_cfg.beta[0], group_cfg.beta[1], group_cfg.eps
+        scaler = (
+            scale_by_torch_amsgrad(b1, b2, eps)
+            if amsgrad
+            else optax.scale_by_adam(b1=b1, b2=b2, eps=eps)
         )
-    if name == "AdamW":
-        return optax.adamw(
-            lr,
-            b1=group_cfg.beta[0],
-            b2=group_cfg.beta[1],
-            eps=group_cfg.eps,
-            weight_decay=group_cfg.weight_decay,
-        )
+        if name == "Adam":
+            chain = l2_into_grad() + [scaler]
+        else:  # AdamW: decoupled decay after the adaptive scaling
+            chain = [scaler] + ([optax.add_decayed_weights(wd)] if wd else [])
+        return optax.chain(*chain, optax.scale_by_learning_rate(lr))
     if name == "AdaBelief":
         return adabelief(
             lr,
             b1=group_cfg.beta[0],
             b2=group_cfg.beta[1],
             eps=group_cfg.eps,
-            weight_decay=group_cfg.weight_decay,
-            amsgrad=getattr(group_cfg, "amsgrad", False),
+            weight_decay=wd,
+            amsgrad=amsgrad,
             clip_step=getattr(group_cfg, "clip_step", None),
             norm_ord=getattr(group_cfg, "norm_ord", 2),
         )
     if name == "RMSProp":
-        return optax.rmsprop(lr, decay=0.99)  # torch default alpha=0.99
+        # torch RMSprop: alpha=0.99, eps added OUTSIDE the sqrt
+        return optax.chain(
+            *l2_into_grad(),
+            optax.scale_by_rms(decay=0.99, eps=1e-8, eps_in_sqrt=False),
+            optax.scale_by_learning_rate(lr),
+        )
     if name == "SGD":
         return optax.sgd(lr, momentum=0.9)
     raise NotImplementedError(f"Optimizer {name} not understood.")

@@ -84,7 +84,8 @@ def make_train_step(cfg, config, alphas_cumprod, tx):
     # embedding table); config.diffusion must agree with it by construction.
     num_timesteps = cfg.num_timesteps
     use_ema = bool(config.model.ema)
-    mu = float(getattr(config.model, "ema_rate", 0.999))
+    # default matches the reference's in-use value (configs/audio.yml:53)
+    mu = float(getattr(config.model, "ema_rate", 0.9999))
     grad_accum = int(getattr(config.training, "grad_accum", 1) or 1)
     alphas = jnp.asarray(alphas_cumprod, jnp.float32)
 

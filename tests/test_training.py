@@ -18,6 +18,7 @@ from ddim_audio_tpu.training import (
     noam_schedule,
 )
 from ddim_audio_tpu.training.grouping import classify_top_level, group_labels
+from ddim_audio_tpu.training.optim import build_group_optimizer
 
 
 def test_noam_schedule_golden():
@@ -227,3 +228,64 @@ def test_train_step_loss_decreases(tiny_cfg):
         lambda e_, p_: float(jnp.abs(e_ - p_).max()), state.ema, state.params
     )
     assert max(jax.tree_util.tree_leaves(diff)) > 0
+
+
+# ---- optimizer factory vs torch (reference functions/__init__.py:5-50) ----
+
+def _run_factory_vs_torch(name, steps=4, **cfg_kwargs):
+    """Run `steps` identical (param, grad) trajectories through the factory
+    transform and the matching torch optimizer; return both final params."""
+    import torch
+
+    from ddim_audio_tpu.utils.namespace import dict2namespace
+
+    rng_ = np.random.default_rng(7)
+    p0 = rng_.standard_normal((5, 3)).astype(np.float32)
+    grads = [rng_.standard_normal((5, 3)).astype(np.float32) for _ in range(steps)]
+
+    base = dict(optimizer=name, lr=0.01, beta=[0.9, 0.999], eps=1e-8)
+    base.update(cfg_kwargs)
+    tx = build_group_optimizer(dict2namespace(base))
+    p = {"w": jnp.asarray(p0)}
+    state = tx.init(p)
+    for g in grads:
+        updates, state = tx.update({"w": jnp.asarray(g)}, state, p)
+        p = jax.tree_util.tree_map(lambda a, u: a + u, p, updates)
+
+    tp = torch.nn.Parameter(torch.from_numpy(p0.copy()))
+    kw = dict(lr=0.01)
+    if name in ("Adam", "AdamW"):
+        kw.update(
+            betas=tuple(base["beta"]), eps=base["eps"],
+            weight_decay=base.get("weight_decay", 0.0),
+            amsgrad=base.get("amsgrad", False),
+        )
+        topt = (torch.optim.Adam if name == "Adam" else torch.optim.AdamW)([tp], **kw)
+    elif name == "RMSProp":
+        topt = torch.optim.RMSprop(
+            [tp], weight_decay=base.get("weight_decay", 0.0), **kw
+        )
+    elif name == "SGD":
+        topt = torch.optim.SGD([tp], momentum=0.9, **kw)
+    for g in grads:
+        tp.grad = torch.from_numpy(g.copy())
+        topt.step()
+    return np.asarray(p["w"]), tp.detach().numpy()
+
+
+@pytest.mark.parametrize(
+    "name,kwargs",
+    [
+        ("Adam", {}),
+        ("Adam", {"weight_decay": 0.1}),          # torch L2-into-grad
+        ("Adam", {"weight_decay": 0.1, "amsgrad": True}),
+        ("AdamW", {"weight_decay": 0.1}),         # decoupled
+        ("AdamW", {"weight_decay": 0.1, "amsgrad": True}),
+        ("RMSProp", {}),
+        ("RMSProp", {"weight_decay": 0.1}),
+        ("SGD", {}),
+    ],
+)
+def test_factory_matches_torch(name, kwargs):
+    ours, theirs = _run_factory_vs_torch(name, **kwargs)
+    np.testing.assert_allclose(ours, theirs, rtol=2e-5, atol=1e-7)
