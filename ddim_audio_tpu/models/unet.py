@@ -209,13 +209,18 @@ def apply_model(params, x, t, cfg: ModelConfig, *, train: bool = False, rng=None
             for k in set(cfg.krn)
         }
 
-    # Fused flat-layout Pallas resblocks (forward-only) for the stages XLA
-    # lane-pads; only usable with k=3 and C | 128.
+    # Fused flat-layout Pallas path (forward-only). When every stage and
+    # stage transition is expressible in the flat layout (true for
+    # audio.yml), the whole conv stack — resblocks AND the strided
+    # down/transposed-up convs — runs flat end-to-end; otherwise individual
+    # flat-capable stages still use the fused resblocks.
     use_flat = (
         not train
         and (cfg.conv_impl == "pallas"
              or (cfg.conv_impl == "auto" and jax.default_backend() == "tpu"))
     )
+    if use_flat and _supports_full_flat(cfg):
+        return _apply_model_flat(params, x, temb_chunks, cfg)
 
     def run_blocks(stage, krn, h):
         if use_flat and krn == 3:
@@ -274,6 +279,116 @@ def apply_model(params, x, t, cfg: ModelConfig, *, train: bool = False, rng=None
     h = conv_apply(params["up_modules"]["tail"], h, padding=1)
 
     return jnp.transpose(h, (0, 3, 1, 2)).astype(jnp.float32)  # NHWC → [B,C,T,F]
+
+
+def _supports_full_flat(cfg: ModelConfig) -> bool:
+    """True when every stage (k=3, C/F geometry) and every down/up stage
+    transition can run in the flat layout (see ops/pallas)."""
+    from ..ops.pallas.conv_flat import supports_flat
+    from ..ops.pallas.conv_strided import supports_flat_down, supports_flat_up
+
+    f = cfg.f_size
+    prev = None
+    for i, (c, krn) in enumerate(zip(cfg.ch, cfg.krn)):
+        if krn != 3:
+            return False
+        if i:
+            if not supports_flat_down(prev, f, c):
+                return False
+            if not supports_flat_up(c, f // 2, prev):
+                return False
+            f //= 2
+        if not supports_flat(c, f):
+            return False
+        prev = c
+    return True
+
+
+def _apply_model_flat(params, x, temb_chunks, cfg: ModelConfig):
+    """Flat-layout forward: after the head conv, activations stay in the
+    unpadded [B, T, F·C] layout through every resblock and every strided
+    stage transition (Pallas kernels); only the tiny bottleneck tokens and
+    the head/tail convs use XLA's NHWC path.
+
+    x: NHWC [B, T, F, channels] in compute dtype; returns [B, C, T, F] fp32
+    (same contract as the XLA branch of apply_model)."""
+    from ..ops.flat_resblock import resblock_flat
+    from ..ops.pallas.conv_strided import (
+        conv_down_flat,
+        conv_up_flat,
+        pack_down_weights,
+        pack_up_weights,
+    )
+
+    compute_dtype = cfg.dtype
+    temb_iter = iter(temb_chunks)
+
+    def run_blocks_flat(stage, hf, f, c, in_stats):
+        stats = in_stats
+        for k, block in enumerate(stage["blocks"]):
+            last = k == len(stage["blocks"]) - 1
+            res = resblock_flat(
+                block, hf, next(temb_iter), f=f, c=c,
+                in_stats=stats, want_out_stats=not last,
+            )
+            hf, stats = res if not last else (res, None)
+        return hf
+
+    h = conv_apply(params["down_modules"]["head"], x, padding=1)
+    bsz, t, f, _ = h.shape
+    hf = h.reshape(bsz, t, f * cfg.ch[0])
+
+    hidden = []
+    hidden.append(hf)
+    prev = None
+    for stage, c in zip(params["down_modules"]["stages"], cfg.ch):
+        stats = None
+        if "down" in stage:
+            w2 = pack_down_weights(stage["down"]["w"], compute_dtype)
+            hf, s1, s2 = conv_down_flat(
+                hf, w2, stage["down"]["b"], c_in=prev, c_out=c,
+                want_stats=True,
+            )
+            stats = (s1, s2)
+            t //= 2
+            f //= 2
+        hf = run_blocks_flat(stage, hf, f, c, stats)
+        hidden.append(hf)
+        prev = c
+
+    # Bottleneck: flat [B,T',F'·C] → tokens [B,T',C·F'] ((C,F) flatten order
+    # matching the reference's NCHW permute+reshape, models/diffusion.py:273).
+    cc = cfg.ch[-1]
+    tdtype = jnp.float32
+    if getattr(cfg.transformers, "dtype", None) is not None:
+        from ..config import resolve_dtype
+
+        tdtype = resolve_dtype(cfg.transformers.dtype)
+    z = hf.reshape(bsz, t, f, cc).transpose(0, 1, 3, 2)
+    z = z.reshape(bsz, t, cc * f).astype(tdtype)
+    z = transformer_module_apply(
+        params["transformer"], z, tcfg=cfg.transformers, train=False, rng=None
+    )
+    hf = (z.reshape(bsz, t, cc, f).transpose(0, 1, 3, 2)
+          .reshape(bsz, t, f * cc).astype(compute_dtype))
+
+    up_stages = list(params["up_modules"]["stages"])
+    chs = list(cfg.ch)
+    for idx in range(len(up_stages) - 1, -1, -1):
+        stage, c = up_stages[idx], chs[idx]
+        hf = hf + hidden.pop()
+        hf = run_blocks_flat(stage, hf, f, c, None)
+        if "up" in stage:
+            w2 = pack_up_weights(stage["up"]["w"], compute_dtype)
+            hf = conv_up_flat(
+                hf, w2, stage["up"]["b"], c_in=c, c_out=chs[idx - 1]
+            )
+            t *= 2
+            f *= 2
+    hf = hf + hidden.pop()
+    h = hf.reshape(bsz, t, f, cfg.ch[0])
+    h = conv_apply(params["up_modules"]["tail"], h, padding=1)
+    return jnp.transpose(h, (0, 3, 1, 2)).astype(jnp.float32)
 
 
 def _split_points(sizes: Sequence[int]) -> list[int]:

@@ -79,7 +79,7 @@ def gn_affine_flat(x_flat, norm_params, f: int, c: int):
     return _affine_from_sums(s1, s2, x_flat.shape[1], norm_params, f, c)
 
 
-def resblock_flat(p, x_flat, temb, *, f: int, c: int, tile_t: int = 32,
+def resblock_flat(p, x_flat, temb, *, f: int, c: int, tile_t: int | None = None,
                   in_stats=None, want_out_stats: bool = False):
     """p: resblock params; x_flat [B, T, F·C]; temb [B, C].
 

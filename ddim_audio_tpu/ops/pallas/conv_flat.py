@@ -1,40 +1,48 @@
 """Pallas TPU kernel: fused 3×3 SAME conv over flat-packed [T, F·C]
-activations.
+activations — period-generalized, auto-pipelined (round-2 redesign).
 
 Why this exists (measured on a v5e chip, see BASELINE.md): XLA stores NHWC
 activations with the channel dim on the 128-lane minor axis, so the
-reference model's early stages (C = 32/64) are lane-padded 4×/2× — every
-byte of HBM traffic and every MXU pass pays the padding. This kernel keeps
-activations in an UNPADDED flat layout [T, F·C] (F·C = 8192 at audio.yml
-scale — a perfect multiple of 128 lanes) and computes the conv as one deep
-matmul per tile:
+reference model's narrow stages (C = 32/64/96) are lane-padded 4×/2×/1.3× —
+every byte of HBM traffic and every MXU pass pays the padding. This kernel
+keeps activations in an UNPADDED flat layout [T, F·C] and computes the conv
+as a handful of MXU matmuls per tile.
 
-- taps are (row offset dt ∈ {0,1,2}) × (128-lane group offset dg ∈ {0,1,2});
-  sub-group f-offsets live in the packed weights' off-diagonal C×C blocks
-  (``pack_conv_weights``), so every in-kernel lane move is tile-aligned
-  (Mosaic cannot rotate/concat 16-bit data at sub-128 offsets);
-- row shifts are tiny [TT, TT] shift-matrix matmuls (sublane rotate is
-  32-bit-only); halo rows come from aligned 8-row neighbor-block DMAs;
-- an in-VMEM im2col tile [TT·(FC/128), 9·128] contracts against the packed
-  [9·128, 128] weights — one MXU-friendly K=1152 matmul per tile;
+Design (v2 — replaces the round-1 im2col/manual-DMA kernel):
+
+- The flat row [F·C] is periodic in the lane-to-(f, c) mapping with period
+  P = lcm(C, 128), so x is *viewed* (free reshape) as [T·G, P] rows, where
+  G = F·C/P rows per time step. Every conv tap (dt ∈ {0,1,2} time offset ×
+  dq ∈ {−1,0,+1} period offset; sub-period f-offsets live inside the packed
+  [9·P, P] weights) is then a STATIC row-offset slice of a halo-extended
+  VMEM scratch buffer followed by one [M, P] × [P, P] matmul — no im2col
+  materialization, no shift-matrix matmuls.
+- Blocks are delivered by Pallas' pipelined BlockSpecs (main tile + one
+  2-time-row halo block on each side), so HBM→VMEM copies are
+  double-buffered with compute automatically; the round-1 kernel serialized
+  manual DMAs against the matmuls.
+- f-boundary zero padding: rows whose period index is first/last are masked
+  in the dq = ∓1 taps; t-boundary padding: edge halos are zeroed.
 - fusions: a per-lane affine prologue (+ optional SiLU) applies GroupNorm
   (from precomputed stats) to the conv input *including halos* — boundary
   zero-rows stay zero, matching the reference's pad-after-norm semantics —
   and the epilogue adds a per-batch vector (bias or timestep embedding)
-  and/or SiLU before the output store.
+  and/or SiLU before the output store. Optionally the per-lane (sum, sum²)
+  of the fp32 output is accumulated across the T grid — the next
+  GroupNorm's statistics for free.
 
-Measured (fp32/bf16, [8192, 8192] flat): 4.4 / 3.2 ms vs 9.2 / 8.3 ms for
-the XLA NHWC conv. Requires C | 128 and 128 | F·C. Forward-only (sampling
-path); training uses the XLA convs until a custom VJP lands.
+All six audio.yml stage widths are covered: C ∈ {32, 64, 128} at P = 128
+(MXU work C/128-dense), C ∈ {96, 192} at P = 384, C = 256 at P = 256.
 
 Reference behavior accelerated: the stride-1 convs of Residual_Block
 (reference models/diffusion.py:28-40); numerics identical to
-lax.conv_general_dilated at fp32 (tested).
+lax.conv_general_dilated at fp32 (tested in tests/test_pallas_conv.py).
 """
 
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -44,175 +52,177 @@ from jax.experimental.pallas import tpu as pltpu
 LANES = 128
 
 
+def flat_period(c: int) -> int:
+    """Lane period of the flat layout for channel width c."""
+    return math.lcm(c, LANES)
+
+
 def supports_flat(c: int, f: int) -> bool:
-    return LANES % c == 0 and (f * c) % LANES == 0
+    return (f * c) % flat_period(c) == 0
 
 
 def pack_conv_weights(w, dtype=jnp.float32) -> jax.Array:
-    """w [3, 3, C, C] (HWIO) → [9·128, 128] for taps (dt, dg).
+    """w [3, 3, C, C] (HWIO) → [9·P, P] blocks for taps (dt, dg), P = lcm(C, 128).
 
-    For output lane (fo·C + co) and conv tap (dt, df):
-        o = fo + df - 1, dg = 1 + floor(o / fpg), fi = o mod fpg
-        W2[(dt·3+dg)·128 + fi·C + ci, fo·C + co] = w[dt, df, ci, co]
-    with fpg = 128/C f-positions per 128-lane group. F-boundary zero padding
-    falls out of the zero-filled group shifts at row ends."""
+    For output lane (fo·C + co), fo ∈ [0, P/C), and conv tap (dt, df):
+        o = fo + df − 1, dg = 1 + floor(o / fpp), fi = o mod fpp
+        W2[(dt·3+dg)·P + fi·C + ci, fo·C + co] = w[dt, df, ci, co]
+    with fpp = P/C f-positions per period. F-boundary zeros are applied by
+    the kernel's first/last-period row masks."""
     kh, kw, c, co = w.shape
-    assert kh == 3 and kw == 3 and c == co and LANES % c == 0
-    fpg = LANES // c
-    # jnp (traceable) so packing can run inside jit on live params; it's a
-    # handful of static-index block writes, constant-folded by XLA.
-    w2 = jnp.zeros((9 * LANES, LANES), jnp.float32)
+    assert kh == 3 and kw == 3 and c == co
+    p = flat_period(c)
+    fpp = p // c
+    # jnp (traceable) so packing can run inside jit on live params; a
+    # handful of static-index block adds, hoisted out of sampler scan loops.
+    w2 = jnp.zeros((9 * p, p), jnp.float32)
     for dt in range(3):
         for df in range(3):
-            for fo in range(fpg):
+            for fo in range(fpp):
                 o = fo + df - 1
-                dg = 1 + (o // fpg if o >= 0 else -1)
-                fi = o % fpg
+                dg = 1 + (o // fpp if o >= 0 else -1)
+                fi = o % fpp
                 j = dt * 3 + dg
                 w2 = w2.at[
-                    j * LANES + fi * c : j * LANES + (fi + 1) * c,
+                    j * p + fi * c : j * p + (fi + 1) * c,
                     fo * c : (fo + 1) * c,
                 ].add(w[dt, df].astype(jnp.float32))
     return w2.astype(dtype)
 
 
-def _shift_groups(rows, dg: int):
-    """Shift flat rows by whole 128-lane groups with zero fill (tile-aligned
-    concat — works for all dtypes). dg ∈ {0,1,2}: source group g + dg - 1."""
-    if dg == 1:
-        return rows
-    if rows.shape[1] == LANES:  # single group: neighbor groups are all zeros
-        return jnp.zeros_like(rows)
-    z = jnp.zeros((rows.shape[0], LANES), rows.dtype)
-    if dg == 2:  # read from higher f groups
-        return jnp.concatenate([rows[:, LANES:], z], axis=1)
-    return jnp.concatenate([z, rows[:, :-LANES]], axis=1)  # dg == 0
-
-
-def _conv_kernel(refs, *, tile_t, fc, n_t, has_pre, pre_silu, has_add,
+def _conv_kernel(refs, *, tile_t, g, p, n_t, has_pre, pre_silu, has_add,
                  post_silu, want_stats):
     it = iter(refs)
-    x_hbm = next(it)
+    x_ref = next(it)
+    top_ref = next(it)
+    bot_ref = next(it)
     w_ref = next(it)
     pre_ref = next(it) if has_pre else None
     add_ref = next(it) if has_add else None
     out_ref = next(it)
     stats_ref = next(it) if want_stats else None
-    main_buf, top_buf, bot_buf, sem = it
+    scratch = next(it)
+    lo_scr = next(it)
+    hi_scr = next(it)
 
-    b = pl.program_id(0)
     i = pl.program_id(1)
-    t0 = pl.multiple_of(i * tile_t, 8)
+    m = tile_t * g
+    h = 2 * g  # halo rows per side (2 time rows — covers shifts up to g+1)
 
-    def prologue(rows):
-        if pre_ref is not None:
-            rows = (rows.astype(jnp.float32) * pre_ref[0, 0, :]
-                    + pre_ref[0, 1, :])
+    # [rows, g] indicator of each row's period index — used to expand
+    # per-period [g, p] vectors over rows and to reduce rows back to [g, p],
+    # both as tiny MXU matmuls (no 3-D reshapes in-kernel).
+    def expander(rows):
+        gi = jax.lax.broadcasted_iota(jnp.int32, (rows, g), 0) % g
+        gj = jax.lax.broadcasted_iota(jnp.int32, (rows, g), 1)
+        return (gi == gj).astype(jnp.float32)
+
+    # Assemble the halo-extended input [h + m + h, p]: raw values first,
+    # then one fused prologue pass, then zero the t-boundary halos (the
+    # reference pads AFTER norm/SiLU, so pad rows are zero post-prologue).
+    scratch[0:h, :] = top_ref[0]
+    scratch[h : h + m, :] = x_ref[0]
+    scratch[h + m :, :] = bot_ref[0]
+
+    if has_pre or pre_silu:
+        vals = scratch[:, :].astype(jnp.float32)
+        if has_pre:
+            exp_z = expander(h + m + h)
+            vals = vals * jnp.dot(exp_z, pre_ref[0, 0],
+                                  preferred_element_type=jnp.float32)
+            vals = vals + jnp.dot(exp_z, pre_ref[0, 1],
+                                  preferred_element_type=jnp.float32)
         if pre_silu:
-            rows = jax.nn.silu(rows.astype(jnp.float32))
-        return rows.astype(main_buf.dtype)
-
-    main = pltpu.make_async_copy(
-        x_hbm.at[b, pl.ds(t0, tile_t)], main_buf, sem.at[0]
-    )
-    main.start()
-
-    # halo loads must be 8-row (sublane-tile) aligned in both HBM and VMEM:
-    # fetch whole neighbor 8-row blocks and use their edge rows. The
-    # prologue applies to REAL halo rows only — boundary zeros stay zero
-    # (the reference pads after norm/SiLU).
-    @pl.when(i > 0)
-    def _():
-        top = pltpu.make_async_copy(
-            x_hbm.at[b, pl.ds(pl.multiple_of(t0 - 8, 8), 8)], top_buf,
-            sem.at[1],
-        )
-        top.start()
-        top.wait()
-        top_buf[:, :] = prologue(top_buf[:, :])
+            vals = jax.nn.silu(vals)
+        scratch[:, :] = vals.astype(scratch.dtype)
 
     @pl.when(i == 0)
     def _():
-        top_buf[:, :] = jnp.zeros((8, fc), top_buf.dtype)
-
-    @pl.when(i < n_t - 1)
-    def _():
-        bot = pltpu.make_async_copy(
-            x_hbm.at[b, pl.ds(pl.multiple_of(t0 + tile_t, 8), 8)], bot_buf,
-            sem.at[2],
-        )
-        bot.start()
-        bot.wait()
-        bot_buf[:, :] = prologue(bot_buf[:, :])
+        scratch[0:h, :] = jnp.zeros((h, p), scratch.dtype)
 
     @pl.when(i == n_t - 1)
     def _():
-        bot_buf[:, :] = jnp.zeros((8, fc), bot_buf.dtype)
+        scratch[h + m :, :] = jnp.zeros((h, p), scratch.dtype)
 
-    main.wait()
-    mid = prologue(main_buf[:])
+    # f-boundary zero padding: the ±1 period shift crosses a time row
+    # exactly at the first/last period — those taps must contribute zero.
+    # Masked copies are materialized ONCE into scratch buffers (not once
+    # per tap — nine live [M, P] temporaries blow the Mosaic stack).
+    nz = m + 2 * h
+    gidx = jax.lax.broadcasted_iota(jnp.int32, (nz, 1), 0) % g
+    zero = jnp.zeros((), scratch.dtype)
+    lo_scr[:, :] = jnp.where(gidx == g - 1, zero, scratch[:, :])
+    hi_scr[:, :] = jnp.where(gidx == 0, zero, scratch[:, :])
 
-    row_idx = jax.lax.broadcasted_iota(jnp.int32, (tile_t, fc), 0)
-    # Row (sublane) shifts as tiny shift-matrix matmuls — Mosaic's sublane
-    # dynamic_rotate is 32-bit-only, and a [TT, TT] matmul is free next to
-    # the main contraction.
-    r = jax.lax.broadcasted_iota(jnp.int32, (tile_t, tile_t), 0)
-    s = jax.lax.broadcasted_iota(jnp.int32, (tile_t, tile_t), 1)
-    shift_down = (r == s + 1).astype(mid.dtype)  # out[i] = in[i-1]
-    shift_up = (r == s - 1).astype(mid.dtype)  # out[i] = in[i+1]
-    up = jnp.where(
-        row_idx == 0,
-        jnp.broadcast_to(top_buf[7:8, :], (tile_t, fc)),
-        jnp.dot(shift_down, mid, preferred_element_type=jnp.float32
-                ).astype(mid.dtype),
-    )
-    down = jnp.where(
-        row_idx == tile_t - 1,
-        jnp.broadcast_to(bot_buf[0:1, :], (tile_t, fc)),
-        jnp.dot(shift_up, mid, preferred_element_type=jnp.float32
-                ).astype(mid.dtype),
-    )
-
-    groups = fc // LANES
-    cols = []
-    for rows in (up, mid, down):  # dt = 0, 1, 2
+    acc = jnp.zeros((m, p), jnp.float32)
+    for dt in range(3):
         for dg in range(3):
-            cols.append(_shift_groups(rows, dg).reshape(tile_t * groups, LANES))
-    im2col = jnp.concatenate(cols, axis=1)  # [TT·groups, 9·128]
+            delta = (dt - 1) * g + (dg - 1)
+            # dg=0 reads row r−1 (valid except at each time row's first
+            # period → mask source rows that are a period's LAST row);
+            # dg=2 reads r+1 (mask source rows that are a period's first).
+            src = (lo_scr, scratch, hi_scr)[dg]
+            rows = src[h + delta : h + delta + m, :]
+            j = dt * 3 + dg
+            acc = acc + jnp.dot(
+                rows, w_ref[j * p : (j + 1) * p, :],
+                preferred_element_type=jnp.float32,
+            )
 
-    acc = jnp.dot(im2col, w_ref[:], preferred_element_type=jnp.float32)
-    out = acc.reshape(tile_t, fc)
+    out = acc
     if add_ref is not None:
-        out = out + add_ref[0, 0, :]
+        out = out + jnp.dot(expander(m), add_ref[0],
+                            preferred_element_type=jnp.float32)
     if post_silu:
         out = jax.nn.silu(out)
     out_ref[0] = out.astype(out_ref.dtype)
 
     if stats_ref is not None:
-        # per-lane sum / sum-of-squares of the fp32 output, accumulated
-        # across the T grid (the output block index_map revisits (b, 0, 0),
-        # so this block lives in VMEM for the whole b-row of the grid)
-        i0 = pl.program_id(1)
-
-        @pl.when(i0 == 0)
+        # per-lane sum / sum² of the fp32 output over the rows of this
+        # tile's periods, accumulated across the T grid (the stats block
+        # index_map revisits (b, 0, 0, 0), so it lives in VMEM for the
+        # whole b-row of the grid)
+        @pl.when(i == 0)
         def _():
-            stats_ref[0] = jnp.zeros((8, fc), jnp.float32)
+            stats_ref[0] = jnp.zeros((2, g, p), jnp.float32)
 
-        s1 = jnp.sum(out, axis=0, keepdims=True)  # [1, fc]
-        s2 = jnp.sum(out * out, axis=0, keepdims=True)
-        rows = jax.lax.broadcasted_iota(jnp.int32, (8, fc), 0)
-        upd = jnp.where(rows == 0, jnp.broadcast_to(s1, (8, fc)), 0.0)
-        upd = upd + jnp.where(rows == 4, jnp.broadcast_to(s2, (8, fc)), 0.0)
-        stats_ref[0] = stats_ref[0] + upd
+        gi = jax.lax.broadcasted_iota(jnp.int32, (g, m), 0)
+        gj = jax.lax.broadcasted_iota(jnp.int32, (g, m), 1) % g
+        reducer = (gi == gj).astype(jnp.float32)  # [g, m]
+        s1 = jnp.dot(reducer, out, preferred_element_type=jnp.float32)
+        s2 = jnp.dot(reducer, out * out, preferred_element_type=jnp.float32)
+        stats_ref[0, 0] = stats_ref[0, 0] + s1
+        stats_ref[0, 1] = stats_ref[0, 1] + s2
 
 
-def conv3x3_flat(x, w2, bias_flat=None, *, c: int, tile_t: int = 32,
+def _pick_tile_t(t: int, g: int, p: int, itemsize: int, tile_t=None) -> int:
+    """Largest even tile_t dividing t with block bytes ≲ 512 KB and M ≲ 2048
+    (the nine tap operands can live simultaneously on the Mosaic stack, so
+    block size bounds scoped-VMEM pressure)."""
+    if tile_t is None:
+        tile_t = 2
+        while (
+            tile_t * 2 <= t
+            and t % (tile_t * 2) == 0
+            and (tile_t * 2) * g <= 2048
+            and (tile_t * 2) * g * p * itemsize <= (1 << 19)
+        ):
+            tile_t *= 2
+    while t % tile_t and tile_t > 1:
+        tile_t //= 2
+    if tile_t % 2 and t % (2 * tile_t) == 0:
+        tile_t *= 2  # halo block index arithmetic needs an even tile
+    return tile_t
+
+
+def conv3x3_flat(x, w2, bias_flat=None, *, c: int, tile_t: int | None = None,
                  pre=None, pre_silu: bool = False, add=None,
                  post_silu: bool = False, want_stats: bool = False):
-    """Fused flat conv. x: [B, T, F·C]; w2: packed [9·128, 128] weights.
+    """Fused flat conv. x: [B, T, F·C]; w2: packed [9·P, P] weights.
 
-    pre: optional (scale [F·C], shift [F·C]) fp32 — per-lane affine applied
-         to the input (GroupNorm folded to scale/shift), before pre_silu.
+    pre: optional (scale, shift) fp32, each [F·C] or [B, F·C] — per-lane
+         affine applied to the input (GroupNorm folded to scale/shift),
+         before pre_silu.
     add: optional [F·C] or [B, F·C] fp32 added to the conv output (bias or
          per-sample timestep embedding), before post_silu.
     bias_flat: shorthand for add= (kept for the plain-conv call sites).
@@ -221,70 +231,82 @@ def conv3x3_flat(x, w2, bias_flat=None, *, c: int, tile_t: int = 32,
          pass per fused resblock stage). Returns (out, s1 [B, F·C],
          s2 [B, F·C]) instead of just out."""
     bsz, t, fc = x.shape
-    if fc % LANES or LANES % c:
-        raise ValueError(f"need C|128 and 128|F·C, got C={c}, FC={fc}")
-    while t % tile_t:
-        tile_t //= 2
+    p = flat_period(c)
+    if fc % p:
+        raise ValueError(f"F·C={fc} is not a multiple of the period {p} (C={c})")
+    g = fc // p
+    tile_t = _pick_tile_t(t, g, p, x.dtype.itemsize, tile_t)
+    if t % tile_t or tile_t % 2:
+        raise ValueError(f"T={t} not tileable by even tile_t={tile_t}")
     n_t = t // tile_t
+    ht = tile_t // 2  # halo block stride in 2-time-row units
 
     if add is None and bias_flat is not None:
         add = bias_flat
     has_pre = pre is not None
     has_add = add is not None
 
+    xv = x.reshape(bsz, t * g, p)  # free: row-major split of the minor dim
     in_specs = [
-        pl.BlockSpec(memory_space=pl.ANY),  # x in HBM; manual DMA
-        pl.BlockSpec(memory_space=pltpu.VMEM),  # packed weights
+        pl.BlockSpec((1, tile_t * g, p), lambda b, i: (b, i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 2 * g, p),
+                     lambda b, i: (b, jnp.maximum(i * ht - 1, 0), 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 2 * g, p),
+                     lambda b, i: (b, jnp.minimum((i + 1) * ht, t // 2 - 1), 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # packed weights, resident
     ]
-    args = [x, w2]
+    args = [xv, xv, xv, w2]
+
     if has_pre:
         scale, shift = pre  # [FC] or [B, FC] each (GroupNorm is per-sample)
         scale = jnp.asarray(scale, jnp.float32)
         shift = jnp.asarray(shift, jnp.float32)
         if scale.ndim == 1:
             scale, shift = scale[None], shift[None]
-        pre_arr = jnp.stack([scale, shift], axis=1)  # [B_pre, 2, FC]
+        pre_arr = jnp.stack([scale, shift], axis=1).reshape(-1, 2, g, p)
         pre_pb = pre_arr.shape[0] == bsz and bsz > 1
-        pidx = (lambda b, i: (b, 0, 0)) if pre_pb else (lambda b, i: (0, 0, 0))
+        pidx = ((lambda b, i: (b, 0, 0, 0)) if pre_pb
+                else (lambda b, i: (0, 0, 0, 0)))
         in_specs.append(
-            pl.BlockSpec((1, 2, fc), pidx, memory_space=pltpu.VMEM)
+            pl.BlockSpec((1, 2, g, p), pidx, memory_space=pltpu.VMEM)
         )
         args.append(pre_arr)
     if has_add:
         add = jnp.asarray(add, jnp.float32)
         if add.ndim == 1:
-            add = add.reshape(1, fc)
+            add = add[None]
         per_batch = add.shape[0] == bsz and bsz > 1
-        # singleton middle axis: a (1, 1, fc) block is legal for any batch
-        # size (block dims must divide 8/128 or equal the array dims)
-        add = add.reshape(add.shape[0], 1, fc)
-        idx = (lambda b, i: (b, 0, 0)) if per_batch else (lambda b, i: (0, 0, 0))
+        add = add.reshape(-1, g, p)
+        aidx = ((lambda b, i: (b, 0, 0)) if per_batch
+                else (lambda b, i: (0, 0, 0)))
         in_specs.append(
-            pl.BlockSpec((1, 1, fc), idx, memory_space=pltpu.VMEM)
+            pl.BlockSpec((1, g, p), aidx, memory_space=pltpu.VMEM)
         )
         args.append(add)
 
     kern = functools.partial(
-        _conv_kernel, tile_t=tile_t, fc=fc, n_t=n_t, has_pre=has_pre,
+        _conv_kernel, tile_t=tile_t, g=g, p=p, n_t=n_t, has_pre=has_pre,
         pre_silu=pre_silu, has_add=has_add, post_silu=post_silu,
         want_stats=want_stats,
     )
 
     out_specs = pl.BlockSpec(
-        (1, tile_t, fc), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
+        (1, tile_t * g, p), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
     )
-    out_shape = jax.ShapeDtypeStruct((bsz, t, fc), x.dtype)
+    out_shape = jax.ShapeDtypeStruct((bsz, t * g, p), x.dtype)
     if want_stats:
         out_specs = (
             out_specs,
-            # index_map revisits (b, 0, 0) for every i → VMEM accumulator
-            pl.BlockSpec(
-                (1, 8, fc), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM
-            ),
+            # index_map revisits (b, 0, 0, 0) for every i → VMEM accumulator
+            pl.BlockSpec((1, 2, g, p), lambda b, i: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
         )
         out_shape = (
             out_shape,
-            jax.ShapeDtypeStruct((bsz, 8, fc), jnp.float32),
+            jax.ShapeDtypeStruct((bsz, 2, g, p), jnp.float32),
         )
 
     result = pl.pallas_call(
@@ -294,13 +316,13 @@ def conv3x3_flat(x, w2, bias_flat=None, *, c: int, tile_t: int = 32,
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=[
-            pltpu.VMEM((tile_t, fc), x.dtype),
-            pltpu.VMEM((8, fc), x.dtype),
-            pltpu.VMEM((8, fc), x.dtype),
-            pltpu.SemaphoreType.DMA((3,)),
+            pltpu.VMEM(((tile_t + 4) * g, p), x.dtype),
+            pltpu.VMEM(((tile_t + 4) * g, p), x.dtype),
+            pltpu.VMEM(((tile_t + 4) * g, p), x.dtype),
         ],
     )(*args)
     if want_stats:
         out, stats = result
-        return out, stats[:, 0, :], stats[:, 4, :]
-    return result
+        return (out.reshape(bsz, t, fc), stats[:, 0].reshape(bsz, fc),
+                stats[:, 1].reshape(bsz, fc))
+    return result.reshape(bsz, t, fc)

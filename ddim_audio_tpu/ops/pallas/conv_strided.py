@@ -1,174 +1,402 @@
-"""Pallas TPU kernel: strided k4 s2 p1 down-conv over flat-packed
-activations (the reference's Downsample, models/diffusion.py:70-78).
+"""Pallas TPU kernels: strided k4 s2 p1 down-conv and transposed k4 s2 p1
+up-conv over flat-packed activations — the reference's Downsample/Upsample
+(reference models/diffusion.py:59-78) — for EVERY audio.yml stage
+transition, so stage changes never leave the flat layout.
 
-Companion to ``conv_flat.py`` (same layout philosophy and Mosaic workarounds
-— see its docstring). C → 2C and (T, F) → (T/2, F/2), so the flat row width
-F·C is UNCHANGED: down-sampling never leaves the flat layout.
+Companions to ``conv_flat.py`` (same design language — see its docstring).
 
-Taps: 4 input-row offsets {2t_o−1 … 2t_o+2} realized as selection-matrix
-matmuls over a 2·TT-row input tile (with halo patches from the neighbor
-8-row blocks), × 3 lane-group offsets — the stride-2 f-window
-{2f_o−1 … 2f_o+2} spans exactly the neighboring 128-lane groups, with the
-sub-group f/stride structure packed into the [12·128, 128] weights:
+Down (k4, s2, p1), C_in → C_out, (T, F) → (T/2, F/2):
+    Output flat rows are periodic with period P (a multiple of
+    lcm(C_out, 128)); each output period consumes S = 2·C_in·P/C_out input
+    lanes (P chosen so S is a multiple of 128), giving matched views
+    out [T/2·R, P] / in [T/2·R, S] per time-parity stream with
+    R = FC_out/P = FC_in/S rows per time step. Splitting the input rows by
+    time parity (even/odd — a free-to-fuse strided slice in XLA) makes
+    every tap (dt ∈ 0..3 time offset × dq ∈ {−1,0,+1} period offset) a
+    STATIC row-offset slice + one [M, S] × [S, P] matmul:
+        dt = 0 → odd stream,  Δ = −R + dq      dt = 1 → even, Δ = dq
+        dt = 2 → odd,  Δ = dq                  dt = 3 → even, Δ = R + dq
 
-    o = 2·fo − 1 + df,  dg = 1 + floor(o / fpg_in),  fi = o mod fpg_in
-    W2[(dt·3+dg)·128 + fi·C + ci, fo·2C + co] = w[dt, df, ci, co]
+Up (transposed k4, s2, p1), C_in → C_out, (T, F) → (2T, 2F):
+    Mirror image: the OUTPUT is computed as two time-parity streams
+    (out[2m] gets taps dt ∈ {1, 3} ← x[m], x[m−1]; out[2m+1] gets
+    dt ∈ {0, 2} ← x[m+1], x[m]), each a [M, Q] × [Q, P_s] matmul per tap
+    with Q a multiple of lcm(C_in, 128) such that P_s = 2·Q·C_out/C_in is a
+    multiple of 128; the f-doubling (df parity structure) is packed into
+    the weights. The streams are written as a [B, 2, T·R, P_s] array and
+    interleaved by one (fusible) XLA transpose.
 
-Matches lax.conv_general_dilated(k4, s2, p1) exactly (tested). Interpret-
-verified; TPU integration (model wiring + up-conv twin) is the round-2 item
-— see ARCHITECTURE.md roadmap.
+Both match lax.conv_general_dilated / conv_transpose_apply exactly at fp32
+(tests/test_pallas_conv.py). Down can accumulate per-lane (sum, sum²) of
+its output — the following GroupNorm's statistics for free.
 """
 
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .conv_flat import _shift_groups
-
 LANES = 128
 
 
-def supports_flat_down(c_in: int, f_in: int) -> bool:
+# ---------------------------------------------------------------- down ----
+
+def down_plan(c_in: int, c_out: int) -> tuple[int, int]:
+    """(P, S): output lane period and input lanes per output period."""
+    base = math.lcm(c_out, LANES)
+    p = base
+    while (2 * c_in * p) % (c_out * LANES):
+        p += base
+    return p, 2 * c_in * p // c_out
+
+
+def supports_flat_down(c_in: int, f_in: int, c_out: int | None = None) -> bool:
+    c_out = 2 * c_in if c_out is None else c_out
+    p, s = down_plan(c_in, c_out)
+    fc_in = f_in * c_in
+    fc_out = (f_in // 2) * c_out
     return (
-        LANES % c_in == 0
-        and LANES % (2 * c_in) == 0
-        and (f_in * c_in) % LANES == 0
-        and f_in % 2 == 0
+        f_in % 2 == 0
+        and fc_in % s == 0
+        and fc_out % p == 0
+        and fc_in // s == fc_out // p
     )
 
 
 def pack_down_weights(w, dtype=jnp.float32):
-    """w [4, 4, C, 2C] (HWIO) → [12·128, 128] for taps (dt ∈ 0..3, dg ∈ 0..2)."""
-    kh, kw, c, c2 = w.shape
-    assert kh == 4 and kw == 4 and c2 == 2 * c and LANES % c2 == 0
-    fpg_out = LANES // (2 * c)
-    fpg_in = LANES // c
-    w2 = jnp.zeros((12 * LANES, LANES), jnp.float32)
+    """w [4, 4, C_in, C_out] (HWIO) → [12·S, P] blocks j = dt·3 + (dq+1).
+
+    For output lane q = fo·C_out + co (fo ∈ [0, P/C_out)) and tap (dt, df):
+        o = (2·fo + df − 1)·C_in + ci,  dq = −1 | 0 | +1 as o < 0 | < S | ≥ S
+        W2[(dt·3 + dq+1)·S + (o mod S), q] = w[dt, df, ci, co]
+    """
+    kh, kw, c_in, c_out = w.shape
+    assert kh == 4 and kw == 4
+    p, s = down_plan(c_in, c_out)
+    fpp = p // c_out
+    w2 = jnp.zeros((12 * s, p), jnp.float32)
     for dt in range(4):
         for df in range(4):
-            for fo in range(fpg_out):
-                o = 2 * fo - 1 + df
-                dg = 1 + (o // fpg_in if o >= 0 else -1)
-                fi = o % fpg_in
-                j = dt * 3 + dg
+            for fo in range(fpp):
+                o = (2 * fo + df - 1) * c_in
+                dq = -1 if o < 0 else (1 if o >= s else 0)
+                fi = o % s
+                j = dt * 3 + dq + 1
                 w2 = w2.at[
-                    j * LANES + fi * c : j * LANES + (fi + 1) * c,
-                    fo * 2 * c : (fo + 1) * 2 * c,
+                    j * s + fi : j * s + fi + c_in,
+                    fo * c_out : (fo + 1) * c_out,
                 ].add(w[dt, df].astype(jnp.float32))
     return w2.astype(dtype)
 
 
-def _down_kernel(refs, *, tile_t, fc, n_t):
-    x_hbm, w_ref, b_ref, out_ref, main_buf, top_buf, bot_buf, sem = refs
+def _down_kernel(refs, *, tile_t, r, s, p, n_t, want_stats):
+    it = iter(refs)
+    xe_ref, et_ref, eb_ref = next(it), next(it), next(it)
+    xo_ref, ot_ref, ob_ref = next(it), next(it), next(it)
+    w_ref = next(it)
+    b_ref = next(it)
+    out_ref = next(it)
+    stats_ref = next(it) if want_stats else None
+    se = next(it)
+    so = next(it)
 
-    b = pl.program_id(0)
     i = pl.program_id(1)
-    in_t0 = pl.multiple_of(i * 2 * tile_t, 8)  # input rows [in_t0, in_t0+2TT)
+    m = tile_t * r
+    h = 2 * r
 
-    main = pltpu.make_async_copy(
-        x_hbm.at[b, pl.ds(in_t0, 2 * tile_t)], main_buf, sem.at[0]
-    )
-    main.start()
+    for sc, x_ref, t_ref, b2_ref in ((se, xe_ref, et_ref, eb_ref),
+                                     (so, xo_ref, ot_ref, ob_ref)):
+        sc[0:h, :] = t_ref[0]
+        sc[h : h + m, :] = x_ref[0]
+        sc[h + m :, :] = b2_ref[0]
 
-    @pl.when(i > 0)
-    def _():
-        top = pltpu.make_async_copy(
-            x_hbm.at[b, pl.ds(pl.multiple_of(in_t0 - 8, 8), 8)], top_buf,
-            sem.at[1],
-        )
-        top.start()
-        top.wait()
-
+    # time-boundary zero padding (the clamped edge halos hold duplicates)
     @pl.when(i == 0)
     def _():
-        top_buf[:, :] = jnp.zeros((8, fc), top_buf.dtype)
-
-    @pl.when(i < n_t - 1)
-    def _():
-        bot = pltpu.make_async_copy(
-            x_hbm.at[b, pl.ds(pl.multiple_of(in_t0 + 2 * tile_t, 8), 8)],
-            bot_buf, sem.at[2],
-        )
-        bot.start()
-        bot.wait()
+        se[0:h, :] = jnp.zeros((h, s), se.dtype)
+        so[0:h, :] = jnp.zeros((h, s), so.dtype)
 
     @pl.when(i == n_t - 1)
     def _():
-        bot_buf[:, :] = jnp.zeros((8, fc), bot_buf.dtype)
+        se[h + m :, :] = jnp.zeros((h, s), se.dtype)
+        so[h + m :, :] = jnp.zeros((h, s), so.dtype)
 
-    main.wait()
-    mid = main_buf[:]  # [2TT, fc]
+    gidx = jax.lax.broadcasted_iota(jnp.int32, (m, 1), 0) % r
+    first_mask = gidx == 0
+    last_mask = gidx == r - 1
 
-    # strided row selections: rows_dt[to] = in[2·to + dt − 1]
-    r = jax.lax.broadcasted_iota(jnp.int32, (tile_t, 2 * tile_t), 0)
-    s = jax.lax.broadcasted_iota(jnp.int32, (tile_t, 2 * tile_t), 1)
-    row_idx = jax.lax.broadcasted_iota(jnp.int32, (tile_t, fc), 0)
-    rows_by_dt = []
+    acc = jnp.zeros((m, p), jnp.float32)
+    stream = {0: so, 1: se, 2: so, 3: se}
+    tshift = {0: -r, 1: 0, 2: 0, 3: r}
     for dt in range(4):
-        sel = (s == 2 * r + dt - 1).astype(mid.dtype)
-        rows = jnp.dot(sel, mid, preferred_element_type=jnp.float32).astype(
-            mid.dtype
-        )
-        if dt == 0:  # to = 0 reads input row −1 → top halo
-            rows = jnp.where(
-                row_idx == 0,
-                jnp.broadcast_to(top_buf[7:8, :], (tile_t, fc)),
-                rows,
+        sc = stream[dt]
+        for dq in (-1, 0, 1):
+            delta = tshift[dt] + dq
+            rows = sc[h + delta : h + delta + m, :]
+            if dq == -1:
+                rows = jnp.where(first_mask, jnp.zeros((), rows.dtype), rows)
+            elif dq == 1:
+                rows = jnp.where(last_mask, jnp.zeros((), rows.dtype), rows)
+            j = dt * 3 + dq + 1
+            acc = acc + jnp.dot(
+                rows, w_ref[j * s : (j + 1) * s, :],
+                preferred_element_type=jnp.float32,
             )
-        if dt == 3:  # to = TT−1 reads input row 2TT → bottom halo
-            rows = jnp.where(
-                row_idx == tile_t - 1,
-                jnp.broadcast_to(bot_buf[0:1, :], (tile_t, fc)),
-                rows,
-            )
-        rows_by_dt.append(rows)
 
-    groups = fc // LANES
-    cols = []
-    for rows in rows_by_dt:
-        for dg in range(3):
-            cols.append(_shift_groups(rows, dg).reshape(tile_t * groups, LANES))
-    im2col = jnp.concatenate(cols, axis=1)  # [TT·groups, 12·128]
-
-    acc = jnp.dot(im2col, w_ref[:], preferred_element_type=jnp.float32)
-    out = acc.reshape(tile_t, fc) + b_ref[0, 0, :]
+    out = acc + b_ref[0]
     out_ref[0] = out.astype(out_ref.dtype)
 
+    if stats_ref is not None:
+        @pl.when(i == 0)
+        def _():
+            stats_ref[0] = jnp.zeros((2, r, p), jnp.float32)
 
-def conv_down_flat(x, w2, bias_flat, *, c_in: int, tile_t: int = 16):
-    """x: [B, T, F·C] (C = c_in) → [B, T/2, (F/2)·2C] (same flat width).
-    w2: packed [12·128, 128]; bias_flat: [(F/2)·2C] (= F·C) fp32."""
-    bsz, t, fc = x.shape
-    if t % 2 or fc % LANES or LANES % (2 * c_in):
-        raise ValueError(f"bad shapes: T={t}, FC={fc}, C={c_in}")
+        gi = jax.lax.broadcasted_iota(jnp.int32, (r, m), 0)
+        gj = jax.lax.broadcasted_iota(jnp.int32, (r, m), 1) % r
+        reducer = (gi == gj).astype(jnp.float32)
+        stats_ref[0, 0] = stats_ref[0, 0] + jnp.dot(
+            reducer, out, preferred_element_type=jnp.float32)
+        stats_ref[0, 1] = stats_ref[0, 1] + jnp.dot(
+            reducer, out * out, preferred_element_type=jnp.float32)
+
+
+def conv_down_flat(x, w2, bias, *, c_in: int, c_out: int | None = None,
+                   tile_t: int | None = None, want_stats: bool = False):
+    """x: [B, T, F·C_in] → [B, T/2, (F/2)·C_out]. w2: packed [12·S, P].
+    bias: [C_out] fp32 (or a pre-tiled [P] period pattern)."""
+    bsz, t, fc_in = x.shape
+    c_out = 2 * c_in if c_out is None else c_out
+    p, s = down_plan(c_in, c_out)
+    if fc_in % s:
+        raise ValueError(f"FC_in={fc_in} not a multiple of S={s}")
+    r = fc_in // s
+    fc_out = r * p
     t_out = t // 2
-    while t_out % tile_t:
+    if tile_t is None:
+        tile_t = 2
+        while (tile_t * 2 <= t_out and t_out % (tile_t * 2) == 0
+               and (tile_t * 2) * r <= 2048
+               and (tile_t * 2) * r * s * x.dtype.itemsize <= (1 << 18)):
+            tile_t *= 2
+    while t_out % tile_t and tile_t > 1:
         tile_t //= 2
+    if t_out % tile_t or tile_t % 2 or (t_out // 2) % (tile_t // 2):
+        raise ValueError(f"T_out={t_out} not tileable by even tile_t={tile_t}")
     n_t = t_out // tile_t
+    ht = tile_t // 2
 
-    kern = functools.partial(_down_kernel, tile_t=tile_t, fc=fc, n_t=n_t)
-    return pl.pallas_call(
+    bias = jnp.asarray(bias, jnp.float32)
+    if bias.shape == (c_out,):
+        bias = jnp.tile(bias, p // c_out)
+    bias = bias.reshape(1, p)
+
+    # time-parity streams; the strided slices fuse into x's producer
+    xe = x[:, 0::2].reshape(bsz, t_out * r, s)
+    xo = x[:, 1::2].reshape(bsz, t_out * r, s)
+
+    main = pl.BlockSpec((1, tile_t * r, s), lambda b, i: (b, i, 0),
+                        memory_space=pltpu.VMEM)
+    top = pl.BlockSpec((1, 2 * r, s),
+                       lambda b, i: (b, jnp.maximum(i * ht - 1, 0), 0),
+                       memory_space=pltpu.VMEM)
+    bot = pl.BlockSpec((1, 2 * r, s),
+                       lambda b, i: (b, jnp.minimum((i + 1) * ht,
+                                                    t_out // 2 - 1), 0),
+                       memory_space=pltpu.VMEM)
+    in_specs = [main, top, bot, main, top, bot,
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, p), lambda b, i: (0, 0),
+                             memory_space=pltpu.VMEM)]
+
+    out_specs = pl.BlockSpec((1, tile_t * r, p), lambda b, i: (b, i, 0),
+                             memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((bsz, t_out * r, p), x.dtype)
+    if want_stats:
+        out_specs = (out_specs,
+                     pl.BlockSpec((1, 2, r, p), lambda b, i: (b, 0, 0, 0),
+                                  memory_space=pltpu.VMEM))
+        out_shape = (out_shape,
+                     jax.ShapeDtypeStruct((bsz, 2, r, p), jnp.float32))
+
+    kern = functools.partial(_down_kernel, tile_t=tile_t, r=r, s=s, p=p,
+                             n_t=n_t, want_stats=want_stats)
+    result = pl.pallas_call(
         lambda *refs: kern(refs),
         grid=(bsz, n_t),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, fc), lambda b, i: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, tile_t, fc), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((bsz, t_out, fc), x.dtype),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[
-            pltpu.VMEM((2 * tile_t, fc), x.dtype),
-            pltpu.VMEM((8, fc), x.dtype),
-            pltpu.VMEM((8, fc), x.dtype),
-            pltpu.SemaphoreType.DMA((3,)),
+            pltpu.VMEM(((tile_t + 4) * r, s), x.dtype),
+            pltpu.VMEM(((tile_t + 4) * r, s), x.dtype),
         ],
-    )(x, w2, jnp.asarray(bias_flat, jnp.float32).reshape(1, 1, fc))
+    )(xe, xe, xe, xo, xo, xo, w2, bias)
+    if want_stats:
+        out, stats = result
+        return (out.reshape(bsz, t_out, fc_out),
+                stats[:, 0].reshape(bsz, fc_out),
+                stats[:, 1].reshape(bsz, fc_out))
+    return result.reshape(bsz, t_out, fc_out)
+
+
+# ------------------------------------------------------------------ up ----
+
+def up_plan(c_in: int, c_out: int) -> tuple[int, int]:
+    """(Q, P_s): input lane period and output-stream lanes per period."""
+    base = math.lcm(c_in, LANES)
+    q = base
+    while (2 * q * c_out) % (c_in * LANES):
+        q += base
+    return q, 2 * q * c_out // c_in
+
+
+def supports_flat_up(c_in: int, f_in: int, c_out: int) -> bool:
+    q, p_s = up_plan(c_in, c_out)
+    fc_in = f_in * c_in
+    return fc_in % q == 0 and (2 * f_in * c_out) % p_s == 0 and (
+        fc_in // q == (2 * f_in * c_out) // p_s
+    )
+
+
+def pack_up_weights(w, dtype=jnp.float32):
+    """w [4, 4, C_in, C_out] — the *equivalent-forward-conv* kernel stored
+    by conv_transpose_init (flipped/IO-swapped torch weight, see
+    models/layers.py docstring) → [12·Q, P_s] blocks
+    j = stream·6 + local_dt·3 + (dq+1), stream 0 = even output rows
+    (torch taps dt ∈ {1, 3}), stream 1 = odd (dt ∈ {0, 2})."""
+    kh, kw, c_in, c_out = w.shape
+    assert kh == 4 and kw == 4
+    q, p_s = up_plan(c_in, c_out)
+    fq = q // c_in  # input f positions per period
+    w2 = jnp.zeros((12 * q, p_s), jnp.float32)
+    # torch tap coefficient K[dt, df] = stored w[3−dt, 3−df]
+    for stream, dts in ((0, (1, 3)), (1, (0, 2))):
+        for local_dt, dt in enumerate(dts):
+            for fo_p in range(2 * fq):  # output f position within period
+                if fo_p % 2 == 0:
+                    pairs = (((fo_p // 2), 1), ((fo_p // 2) - 1, 3))
+                else:
+                    pairs = (((fo_p + 1) // 2), 0), ((fo_p // 2), 2)
+                for f_i, df in pairs:
+                    o = f_i * c_in
+                    dq = -1 if o < 0 else (1 if o >= q else 0)
+                    fi = o % q
+                    j = stream * 6 + local_dt * 3 + dq + 1
+                    w2 = w2.at[
+                        j * q + fi : j * q + fi + c_in,
+                        fo_p * c_out : (fo_p + 1) * c_out,
+                    ].add(w[3 - dt, 3 - df].astype(jnp.float32))
+    return w2.astype(dtype)
+
+
+def _up_kernel(refs, *, tile_t, r, q, p_s, n_t):
+    it = iter(refs)
+    x_ref, top_ref, bot_ref = next(it), next(it), next(it)
+    w_ref = next(it)
+    b_ref = next(it)
+    out_ref = next(it)
+    sc = next(it)
+
+    i = pl.program_id(1)
+    m = tile_t * r
+    h = 2 * r
+
+    sc[0:h, :] = top_ref[0]
+    sc[h : h + m, :] = x_ref[0]
+    sc[h + m :, :] = bot_ref[0]
+
+    @pl.when(i == 0)
+    def _():
+        sc[0:h, :] = jnp.zeros((h, q), sc.dtype)
+
+    @pl.when(i == n_t - 1)
+    def _():
+        sc[h + m :, :] = jnp.zeros((h, q), sc.dtype)
+
+    gidx = jax.lax.broadcasted_iota(jnp.int32, (m, 1), 0) % r
+    first_mask = gidx == 0
+    last_mask = gidx == r - 1
+
+    tshift = {0: (0, -r), 1: (r, 0)}  # stream → (Δ_t of local_dt 0, 1)
+    for stream in (0, 1):
+        acc = jnp.zeros((m, p_s), jnp.float32)
+        for local_dt in (0, 1):
+            for dq in (-1, 0, 1):
+                delta = tshift[stream][local_dt] + dq
+                rows = sc[h + delta : h + delta + m, :]
+                if dq == -1:
+                    rows = jnp.where(first_mask, jnp.zeros((), rows.dtype),
+                                     rows)
+                elif dq == 1:
+                    rows = jnp.where(last_mask, jnp.zeros((), rows.dtype),
+                                     rows)
+                j = stream * 6 + local_dt * 3 + dq + 1
+                acc = acc + jnp.dot(
+                    rows, w_ref[j * q : (j + 1) * q, :],
+                    preferred_element_type=jnp.float32,
+                )
+        out_ref[0, stream] = (acc + b_ref[0]).astype(out_ref.dtype)
+
+
+def conv_up_flat(x, w2, bias, *, c_in: int, c_out: int,
+                 tile_t: int | None = None):
+    """x: [B, T, F·C_in] → [B, 2T, (2F)·C_out] (torch ConvTranspose2d k4 s2
+    p1 semantics). w2: packed [12·Q, P_s]; bias: [C_out] fp32 (or [P_s])."""
+    bsz, t, fc_in = x.shape
+    q, p_s = up_plan(c_in, c_out)
+    if fc_in % q:
+        raise ValueError(f"FC_in={fc_in} not a multiple of Q={q}")
+    r = fc_in // q
+    fc_out = r * p_s
+    if tile_t is None:
+        tile_t = 2
+        while (tile_t * 2 <= t and t % (tile_t * 2) == 0
+               and (tile_t * 2) * r <= 2048
+               and (tile_t * 2) * r * p_s * x.dtype.itemsize <= (1 << 18)):
+            tile_t *= 2
+    while t % tile_t and tile_t > 1:
+        tile_t //= 2
+    if t % tile_t or tile_t % 2 or (t // 2) % (tile_t // 2):
+        raise ValueError(f"T={t} not tileable by even tile_t={tile_t}")
+    n_t = t // tile_t
+    ht = tile_t // 2
+
+    bias = jnp.asarray(bias, jnp.float32)
+    if bias.shape == (c_out,):
+        bias = jnp.tile(bias, p_s // c_out)
+    bias = bias.reshape(1, p_s)
+
+    xv = x.reshape(bsz, t * r, q)
+    in_specs = [
+        pl.BlockSpec((1, tile_t * r, q), lambda b, i: (b, i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 2 * r, q),
+                     lambda b, i: (b, jnp.maximum(i * ht - 1, 0), 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 2 * r, q),
+                     lambda b, i: (b, jnp.minimum((i + 1) * ht, t // 2 - 1), 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, p_s), lambda b, i: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    kern = functools.partial(_up_kernel, tile_t=tile_t, r=r, q=q, p_s=p_s,
+                             n_t=n_t)
+    out = pl.pallas_call(
+        lambda *refs: kern(refs),
+        grid=(bsz, n_t),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, 2, tile_t * r, p_s),
+                               lambda b, i: (b, 0, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bsz, 2, t * r, p_s), x.dtype),
+        scratch_shapes=[pltpu.VMEM(((tile_t + 4) * r, q), x.dtype)],
+    )(xv, xv, xv, w2, bias)
+    # interleave the two time-parity streams: [B, 2, T·R, P_s] →
+    # [B, T, 2, R·P_s] → [B, 2T, FC_out]; one (fusible) XLA transpose
+    out = out.reshape(bsz, 2, t, r * p_s).transpose(0, 2, 1, 3)
+    return out.reshape(bsz, 2 * t, fc_out)

@@ -21,11 +21,15 @@ from ddim_audio_tpu.ops.pallas.conv_flat import (
 def test_supports_flat():
     assert supports_flat(32, 256) and supports_flat(64, 128)
     assert supports_flat(128, 64)
-    assert not supports_flat(96, 64)  # 128 % 96 != 0
-    assert not supports_flat(32, 2)  # F·C = 64 < 128
+    assert supports_flat(96, 64)  # P = 384: 64·96 = 6144 = 16·384
+    assert supports_flat(192, 16) and supports_flat(256, 8)
+    assert not supports_flat(32, 2)  # F·C = 64 < P = 128
+    assert not supports_flat(96, 2)  # F·C = 192 not a multiple of P = 384
 
 
-@pytest.mark.parametrize("c,f", [(32, 8), (64, 4), (128, 2)])
+@pytest.mark.parametrize(
+    "c,f", [(32, 8), (64, 4), (128, 2), (96, 4), (192, 2), (256, 2)]
+)
 def test_conv_flat_matches_xla(c, f):
     rng = np.random.default_rng(c)
     B, T = 2, 32
@@ -86,35 +90,240 @@ def test_resblock_flat_matches_xla():
     )
 
 
-@pytest.mark.parametrize("c,f", [(32, 8), (16, 16), (64, 4)])
-def test_down_conv_flat_matches_xla(c, f):
-    """Strided k4 s2 p1 down-conv kernel (TPU-verified exact; integration is
-    the round-2 item — ARCHITECTURE.md roadmap)."""
+# audio.yml stage transitions, scaled-down f: (c_in, c_out, f_in)
+TRANSITIONS = [
+    (32, 64, 8),    # P=128  S=128
+    (64, 96, 16),   # P=384  S=512
+    (96, 128, 8),   # P=256  S=384
+    (128, 192, 8),  # P=384  S=512
+    (192, 256, 4),  # P=256  S=384
+]
+
+
+@pytest.mark.parametrize("c_in,c_out,f", TRANSITIONS)
+def test_down_conv_flat_matches_xla(c_in, c_out, f):
+    """Strided k4 s2 p1 down-conv kernel vs XLA, every stage transition."""
     from ddim_audio_tpu.ops.pallas.conv_strided import (
         conv_down_flat,
         pack_down_weights,
         supports_flat_down,
     )
 
-    assert supports_flat_down(c, f)
-    rng = np.random.default_rng(c)
-    B, T = 2, 32
-    x = rng.standard_normal((B, T, f, c)).astype(np.float32)
-    w = (rng.standard_normal((4, 4, c, 2 * c)) * 0.1).astype(np.float32)
-    bias = rng.standard_normal(2 * c).astype(np.float32)
+    assert supports_flat_down(c_in, f, c_out)
+    rng = np.random.default_rng(c_in)
+    B, T = 2, 16
+    x = rng.standard_normal((B, T, f, c_in)).astype(np.float32)
+    w = (rng.standard_normal((4, 4, c_in, c_out)) * 0.1).astype(np.float32)
+    bias = rng.standard_normal(c_out).astype(np.float32)
     ref = np.asarray(
         conv_apply({"w": jnp.asarray(w), "b": jnp.asarray(bias)},
                    jnp.asarray(x), stride=2, padding=1)
-    ).reshape(B, T // 2, f * c)
+    ).reshape(B, T // 2, (f // 2) * c_out)
     with pltpu.force_tpu_interpret_mode():
         out = conv_down_flat(
-            jnp.asarray(x.reshape(B, T, f * c)),
+            jnp.asarray(x.reshape(B, T, f * c_in)),
             pack_down_weights(jnp.asarray(w)),
-            np.tile(bias, f // 2),
-            c_in=c,
+            bias,
+            c_in=c_in,
+            c_out=c_out,
             tile_t=4,
         )
     np.testing.assert_allclose(np.asarray(out), ref, atol=1e-5)
+
+
+def test_down_conv_flat_stats():
+    from ddim_audio_tpu.ops.pallas.conv_strided import (
+        conv_down_flat,
+        pack_down_weights,
+    )
+
+    rng = np.random.default_rng(7)
+    B, T, f, c_in, c_out = 2, 16, 8, 32, 64
+    x = jnp.asarray(rng.standard_normal((B, T, f * c_in)).astype(np.float32))
+    w = jnp.asarray((rng.standard_normal((4, 4, c_in, c_out)) * 0.1
+                     ).astype(np.float32))
+    bias = jnp.asarray(rng.standard_normal(c_out).astype(np.float32))
+    with pltpu.force_tpu_interpret_mode():
+        out, s1, s2 = conv_down_flat(
+            x, pack_down_weights(w), bias, c_in=c_in, c_out=c_out,
+            tile_t=4, want_stats=True,
+        )
+    np.testing.assert_allclose(
+        np.asarray(s1), np.asarray(out).sum(axis=1), rtol=1e-5, atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(s2), (np.asarray(out) ** 2).sum(axis=1),
+        rtol=1e-5, atol=1e-4)
+
+
+@pytest.mark.parametrize("c_out,c_in,f", TRANSITIONS)
+def test_up_conv_flat_matches_xla(c_out, c_in, f):
+    """Transposed k4 s2 p1 up-conv kernel vs XLA, every stage transition
+    (the up path runs each down transition in reverse: c_in → c_out)."""
+    from ddim_audio_tpu.models.layers import conv_transpose_apply
+    from ddim_audio_tpu.ops.pallas.conv_strided import (
+        conv_up_flat,
+        pack_up_weights,
+        supports_flat_up,
+    )
+
+    f_in = f // 2  # the up stage operates at the downsampled resolution
+    assert supports_flat_up(c_in, f_in, c_out)
+    rng = np.random.default_rng(c_in)
+    B, T = 2, 8
+    x = rng.standard_normal((B, T, f_in, c_in)).astype(np.float32)
+    w = (rng.standard_normal((4, 4, c_in, c_out)) * 0.1).astype(np.float32)
+    bias = rng.standard_normal(c_out).astype(np.float32)
+    ref = np.asarray(
+        conv_transpose_apply({"w": jnp.asarray(w), "b": jnp.asarray(bias)},
+                             jnp.asarray(x), stride=2, padding=1)
+    ).reshape(B, 2 * T, 2 * f_in * c_out)
+    with pltpu.force_tpu_interpret_mode():
+        out = conv_up_flat(
+            jnp.asarray(x.reshape(B, T, f_in * c_in)),
+            pack_up_weights(jnp.asarray(w)),
+            bias,
+            c_in=c_in,
+            c_out=c_out,
+            tile_t=4,
+        )
+    np.testing.assert_allclose(np.asarray(out), ref, atol=1e-5)
+
+
+@pytest.mark.parametrize("c,f", [(32, 8), (96, 4)])
+def test_conv_flat_vjp_matches_xla(c, f):
+    """Custom-VJP flat conv: value AND grads (x, w, add) match jax.grad of
+    the XLA conv."""
+    from ddim_audio_tpu.ops.flat_grad import conv3x3_flat_t
+    from ddim_audio_tpu.ops.pallas.conv_flat import pack_conv_weights
+
+    rng = np.random.default_rng(c)
+    B, T = 2, 16
+    x = rng.standard_normal((B, T, f, c)).astype(np.float32)
+    w = (rng.standard_normal((3, 3, c, c)) * 0.1).astype(np.float32)
+    bias = rng.standard_normal(c).astype(np.float32)
+    cot = rng.standard_normal((B, T, f, c)).astype(np.float32)
+
+    def loss_xla(x, w, b):
+        out = conv_apply({"w": w, "b": b}, x, padding=1)
+        return jnp.sum(out * jnp.asarray(cot))
+
+    def loss_flat(xf, w, b):
+        w2 = pack_conv_weights(w)
+        out = conv3x3_flat_t(xf, w2, jnp.tile(b, f), c=c)
+        return jnp.sum(out * jnp.asarray(cot.reshape(B, T, f * c)))
+
+    ref_v, ref_g = jax.value_and_grad(loss_xla, argnums=(0, 1, 2))(
+        jnp.asarray(x), jnp.asarray(w), jnp.asarray(bias))
+    with pltpu.force_tpu_interpret_mode():
+        got_v, got_g = jax.value_and_grad(loss_flat, argnums=(0, 1, 2))(
+            jnp.asarray(x.reshape(B, T, f * c)), jnp.asarray(w),
+            jnp.asarray(bias))
+    np.testing.assert_allclose(float(got_v), float(ref_v), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(got_g[0]).reshape(B, T, f, c), np.asarray(ref_g[0]),
+        atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got_g[1]), np.asarray(ref_g[1]),
+                               atol=1e-4)
+    # flat add grad summed per channel == bias grad
+    np.testing.assert_allclose(
+        np.asarray(got_g[2]), np.asarray(ref_g[2]), atol=1e-4)
+
+
+def test_resblock_flat_train_matches_xla():
+    """Trainable flat resblock: forward and full grads match the XLA
+    _resblock_apply."""
+    from ddim_audio_tpu.ops.flat_grad import resblock_flat_train
+
+    rng = np.random.default_rng(5)
+    B, T, F, C = 2, 16, 8, 32
+    p = _resblock_init(jax.random.key(0), C, 3, jnp.float32)
+    p["norm3"]["g"] = jnp.asarray(
+        1.0 + 0.2 * rng.standard_normal(C).astype(np.float32))
+    x = rng.standard_normal((B, T, F, C)).astype(np.float32)
+    temb = rng.standard_normal((B, C)).astype(np.float32)
+    cot = rng.standard_normal((B, T, F, C)).astype(np.float32)
+
+    def loss_xla(p, x, temb):
+        out = _resblock_apply(p, x, temb, kernel_size=3)
+        return jnp.sum(out * jnp.asarray(cot))
+
+    def loss_flat(p, xf, temb):
+        out = resblock_flat_train(p, xf, temb, f=F, c=C)
+        return jnp.sum(out * jnp.asarray(cot.reshape(B, T, F * C)))
+
+    ref_v, ref_g = jax.value_and_grad(loss_xla, argnums=(0, 1, 2))(
+        p, jnp.asarray(x), jnp.asarray(temb))
+    with pltpu.force_tpu_interpret_mode():
+        got_v, got_g = jax.value_and_grad(loss_flat, argnums=(0, 1, 2))(
+            p, jnp.asarray(x.reshape(B, T, F * C)), jnp.asarray(temb))
+    np.testing.assert_allclose(float(got_v), float(ref_v), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(got_g[1]).reshape(B, T, F, C), np.asarray(ref_g[1]),
+        atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got_g[2]), np.asarray(ref_g[2]),
+                               atol=1e-4)
+    for path, leaf in jax.tree_util.tree_leaves_with_path(got_g[0]):
+        ref_leaf = ref_g[0]
+        for k in path:
+            ref_leaf = ref_leaf[k.key]
+        np.testing.assert_allclose(
+            np.asarray(leaf), np.asarray(ref_leaf), rtol=1e-4, atol=1e-4,
+            err_msg=str(path))
+
+
+def test_full_model_full_flat_path_matches_xla():
+    """A config where EVERY stage and transition is flat-capable exercises
+    the end-to-end flat pipeline (_apply_model_flat): head → flat resblocks
+    → flat strided down/up convs → bottleneck → tail."""
+    import dataclasses
+
+    from ddim_audio_tpu.models.unet import (
+        ModelConfig,
+        _supports_full_flat,
+        apply_model,
+        init_model,
+    )
+    from ddim_audio_tpu.utils.namespace import dict2namespace
+
+    transformers = dict2namespace(
+        {
+            "module": "fnet",
+            "kwargs": {
+                "hidden_size": 32,
+                "num_hidden_layers": 2,
+                "intermediate_size": 64,
+                "hidden_act": "gelu_new",
+                "hidden_dropout_prob": 0.1,
+                "initializer_range": 0.02,
+                "layer_norm_eps": 1e-6,
+            },
+            "channels": 32,
+            "dtype": None,
+            "fourier_impl": "dft_matmul",
+        }
+    )
+    cfg_x = ModelConfig(
+        channels=2, f_size=16, ch=(32, 64, 96), krn=(3, 3, 3), res=(1, 1, 1),
+        num_timesteps=50, transformers=transformers, conv_impl="xla",
+    )
+    cfg_p = dataclasses.replace(cfg_x, conv_impl="pallas")
+    assert _supports_full_flat(cfg_p)
+    params = init_model(jax.random.key(0), cfg_x)
+    # non-trivial final norms so conv errors aren't hidden by identity blocks
+    rng = np.random.default_rng(3)
+    for mod in ("down_modules", "up_modules"):
+        for stage in params[mod]["stages"]:
+            for block in stage["blocks"]:
+                c = block["norm3"]["g"].shape[0]
+                block["norm3"]["g"] = jnp.asarray(
+                    1.0 + 0.2 * rng.standard_normal(c).astype(np.float32)
+                )
+    x = jax.random.normal(jax.random.key(1), (2, 2, 16, 16))
+    t = jnp.array([3, 17])
+    ref = apply_model(params, x, t, cfg_x)
+    with pltpu.force_tpu_interpret_mode():
+        out = apply_model(params, x, t, cfg_p)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)
 
 
 def test_full_model_pallas_path_matches_xla(tiny_cfg):
