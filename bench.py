@@ -7,11 +7,15 @@ wall-clock for ``audio.yml`` DDIM sampling (eta=0, --timesteps 100, batch 1,
 denoiser through the jitted lax.scan sampler.
 
 Baseline: the PyTorch reference cannot run this workload on CUDA here; its
-CPU execution (torch 2.13, this host's 1 vCPU) measures 104.5 s *per model
-forward* at this shape (mean of 3, measured 2026-08-16 via the
-tests/torch_ref.py harness), i.e. ~10,449 s for the 100-step clip.
-``vs_baseline`` is the speedup ratio (reference wall-clock / ours; >1 is
-faster than the reference).
+CPU execution (torch 2.13, this host's 1 vCPU) MEASURED end-to-end through
+the actual reference sampler (functions/denoising.py generalized_steps with
+the reference Model, cuda literals mapped to cpu — see
+benchmarks/torch_cpu_baseline.py, result in torch_cpu_baseline.json,
+measured 2026-08-16): 4129.3 s for the 100-step clip. (The round-1 number
+extrapolated a single cold forward ×100 to 10,449 s; repeated forwards are
+~2.5× faster once oneDNN warms, so the measured clip is the honest
+baseline.) ``vs_baseline`` is the speedup ratio (reference wall-clock /
+ours; >1 is faster than the reference).
 
 Prints exactly ONE JSON line:
   {"metric": ..., "value": <seconds>, "unit": "s", "vs_baseline": <ratio>}
@@ -21,8 +25,8 @@ import json
 import sys
 import time
 
-# measured on this machine (see module docstring); per-forward mean 104.5 s
-TORCH_CPU_100STEP_SECONDS = 10_449.0
+# measured on this machine (benchmarks/torch_cpu_baseline.json)
+TORCH_CPU_100STEP_SECONDS = 4129.3
 
 TIMESTEPS = 100
 SHAPE = (1, 2, 8192, 256)

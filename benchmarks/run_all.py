@@ -80,12 +80,12 @@ def main():
     select = set((100 - idx).tolist())
     sampler.sample(  # warm the buffered-chunk compile
         x, seq100, sched, eta=0.0, select_index=select,
-        key=jax.random.key(3), params=params,
+        key=jax.random.key(3), params=params, buffer_dtype="float16",
     )
     t0 = time.time()
     xs, x0s = sampler.sample(
         x, seq100, sched, eta=0.0, select_index=select,
-        key=jax.random.key(3), params=params,
+        key=jax.random.key(3), params=params, buffer_dtype="float16",
     )
     assert len(x0s) == 10
     emit("row3_sequence10_trajectory_100step", time.time() - t0)

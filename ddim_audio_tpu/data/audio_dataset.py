@@ -13,7 +13,10 @@ ops/stft.py.
 
 from __future__ import annotations
 
+import collections
 import os
+import struct
+import threading
 
 import numpy as np
 
@@ -21,6 +24,47 @@ from ..ops.stft import STFTConfig, num_samples
 from .codec import read_audio, wav2pfft
 
 _AUDIO_EXTS = (".wav", ".npy")
+
+
+def audio_length(path: str, target_samplerate: int) -> int | None:
+    """Resampled sample count from file metadata alone — no decode.
+
+    .npy: memory-mapped shape. .wav: RIFF fmt/data chunk walk (PCM and
+    IEEE-float). Returns None when the header can't be parsed (caller falls
+    back to a full decode)."""
+    try:
+        if path.endswith(".npy"):
+            arr = np.load(path, mmap_mode="r")
+            return int(arr.shape[0])
+        with open(path, "rb") as f:
+            riff = f.read(12)
+            if len(riff) < 12 or riff[:4] != b"RIFF" or riff[8:12] != b"WAVE":
+                return None
+            sr = None
+            block_align = None
+            data_bytes = None
+            while True:
+                hdr = f.read(8)
+                if len(hdr) < 8:
+                    break
+                cid, size = hdr[:4], struct.unpack("<I", hdr[4:])[0]
+                if cid == b"fmt ":
+                    fmt = f.read(size)
+                    sr = struct.unpack("<I", fmt[4:8])[0]
+                    block_align = struct.unpack("<H", fmt[12:14])[0]
+                elif cid == b"data":
+                    data_bytes = size
+                    break
+                else:
+                    f.seek(size + (size & 1), os.SEEK_CUR)
+            if not (sr and block_align and data_bytes is not None):
+                return None
+            frames = data_bytes // block_align
+            if sr == target_samplerate:
+                return frames
+            return int(round(frames * target_samplerate / sr))
+    except Exception:
+        return None
 
 
 class AudioDataset:
@@ -38,6 +82,7 @@ class AudioDataset:
         virtual_samplerate: int = 48000,
         axis: str = "CTF",
         HPI: bool = False,
+        cache_size: int = 16,
         **_ignored,
     ):
         if axis != "CTF":
@@ -47,6 +92,14 @@ class AudioDataset:
         )
         self.t_size = t_size
         self.window = num_samples(self.cfg, t_size)
+        # decoded-waveform LRU: windows of the same clip share one decode
+        # (the round-1 pipeline re-decoded the whole file per __getitem__ —
+        # VERDICT.md Missing #5)
+        self._cache: collections.OrderedDict[str, np.ndarray] = (
+            collections.OrderedDict()
+        )
+        self._cache_size = int(cache_size)
+        self._lock = threading.Lock()
 
         files = []
         for root, _, names in os.walk(path):
@@ -57,7 +110,8 @@ class AudioDataset:
         if not files:
             raise FileNotFoundError(f"{path} contains no audio files")
 
-        # index: (file, window_start)
+        # index: (file, window_start); lengths come from file headers — the
+        # init scan decodes nothing
         self._items: list[tuple[str, int]] = []
         self._lengths: dict[str, int] = {}
         for f in files:
@@ -68,15 +122,29 @@ class AudioDataset:
                 self._items.append((f, w * self.window))
 
     def _length_of(self, path: str) -> int:
+        n = audio_length(path, self.cfg.virtual_samplerate)
+        if n is not None:
+            return n
+        return len(self._wave(path))
+
+    def _wave(self, path: str) -> np.ndarray:
+        with self._lock:
+            if path in self._cache:
+                self._cache.move_to_end(path)
+                return self._cache[path]
         wave = read_audio(path, self.cfg.virtual_samplerate)
-        return len(wave)
+        with self._lock:
+            self._cache[path] = wave
+            while len(self._cache) > self._cache_size:
+                self._cache.popitem(last=False)
+        return wave
 
     def __len__(self) -> int:
         return len(self._items)
 
     def __getitem__(self, i: int):
         path, start = self._items[i]
-        wave = read_audio(path, self.cfg.virtual_samplerate)
+        wave = self._wave(path)
         seg = wave[start : start + self.window]
         if len(seg) < self.window:
             seg = np.pad(seg, (0, self.window - len(seg)))
@@ -126,18 +194,54 @@ def get_dataset(args, config):
 
 
 def batch_iterator(dataset, batch_size: int, *, shuffle: bool, seed: int = 0,
-                   drop_last: bool = False):
-    """Minimal epoch iterator over numpy batches (the reference uses a torch
-    DataLoader with num_workers=0 — single-threaded host loading,
-    configs/audio.yml:23)."""
+                   drop_last: bool = False, num_workers: int = 0,
+                   prefetch: int = 2):
+    """Epoch iterator over numpy batches.
+
+    num_workers=0 reproduces the reference DataLoader contract
+    (configs/audio.yml:23 — single-threaded host loading). num_workers>0
+    decodes items on a thread pool and keeps ``prefetch`` batches in flight
+    so the accelerator isn't host-bound (the threads spend their time in
+    numpy FFT/IO, which releases the GIL)."""
     rng = np.random.default_rng(seed)
     order = np.arange(len(dataset))
     if shuffle:
         rng.shuffle(order)
+    batches = []
     for i in range(0, len(order), batch_size):
         idx = order[i : i + batch_size]
         if drop_last and len(idx) < batch_size:
-            return
-        xs = np.stack([dataset[int(j)][0] for j in idx])
+            break
+        batches.append(idx)
+
+    def assemble(idx, item_of):
+        xs = np.stack([item_of(int(j))[0] for j in idx])
         ys = np.zeros((len(idx),), np.int32)
-        yield xs, ys
+        return xs, ys
+
+    if num_workers <= 0:
+        for idx in batches:
+            yield assemble(idx, dataset.__getitem__)
+        return
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=num_workers) as pool:
+        def fetch(idx):
+            futs = [pool.submit(dataset.__getitem__, int(j)) for j in idx]
+            return futs
+
+        inflight = collections.deque()
+        bi = 0
+        while bi < len(batches) and len(inflight) <= prefetch:
+            inflight.append((batches[bi], fetch(batches[bi])))
+            bi += 1
+        while inflight:
+            idx, futs = inflight.popleft()
+            items = [f.result() for f in futs]
+            if bi < len(batches):
+                inflight.append((batches[bi], fetch(batches[bi])))
+                bi += 1
+            xs = np.stack([it[0] for it in items])
+            ys = np.zeros((len(idx),), np.int32)
+            yield xs, ys

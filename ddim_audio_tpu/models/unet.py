@@ -222,23 +222,44 @@ def apply_model(params, x, t, cfg: ModelConfig, *, train: bool = False, rng=None
     if use_flat and _supports_full_flat(cfg):
         return _apply_model_flat(params, x, temb_chunks, cfg)
 
-    def run_blocks(stage, krn, h):
-        if use_flat and krn == 3:
-            from ..ops.flat_resblock import resblock_flat
-            from ..ops.pallas.conv_flat import supports_flat
+    # Training on TPU: resblocks run on the flat Pallas kernels through
+    # their custom VJP (ops/flat_grad.py) — forward AND backward convs are
+    # unpadded; stage transitions stay XLA here (the inference path runs
+    # them flat via _apply_model_flat).
+    use_flat_train = (
+        train
+        and (cfg.conv_impl == "pallas"
+             or (cfg.conv_impl == "auto" and jax.default_backend() == "tpu"))
+    )
 
-            b_, t_, f_, c_ = h.shape
-            if supports_flat(c_, f_):
-                hf = h.reshape(b_, t_, f_ * c_)
-                stats = None
-                for k, block in enumerate(stage["blocks"]):
-                    last = k == len(stage["blocks"]) - 1
-                    res = resblock_flat(
-                        block, hf, next(temb_iter), f=f_, c=c_,
-                        in_stats=stats, want_out_stats=not last,
-                    )
-                    hf, stats = res if not last else (res, None)
-                return hf.reshape(b_, t_, f_, c_)
+    def run_blocks(stage, krn, h):
+        from ..ops.pallas.conv_flat import supports_flat
+
+        b_, t_, f_, c_ = h.shape
+        hw = jax.default_backend() == "tpu"
+        if use_flat and krn == 3 and supports_flat(c_, f_, hw=hw):
+            from ..ops.flat_resblock import resblock_flat
+
+            hf = h.reshape(b_, t_, f_ * c_)
+            stats = None
+            for k, block in enumerate(stage["blocks"]):
+                last = k == len(stage["blocks"]) - 1
+                res = resblock_flat(
+                    block, hf, next(temb_iter), f=f_, c=c_,
+                    in_stats=stats, want_out_stats=not last,
+                )
+                hf, stats = res if not last else (res, None)
+            return hf.reshape(b_, t_, f_, c_)
+        if use_flat_train and krn == 3 and supports_flat(c_, f_, hw=hw):
+            from ..ops.flat_grad import resblock_flat_train
+
+            block_fn = functools.partial(resblock_flat_train, f=f_, c=c_)
+            if cfg.remat:
+                block_fn = jax.checkpoint(block_fn)
+            hf = h.reshape(b_, t_, f_ * c_)
+            for block in stage["blocks"]:
+                hf = block_fn(block, hf, next(temb_iter))
+            return hf.reshape(b_, t_, f_, c_)
         for block in stage["blocks"]:
             h = block_apply[krn](block, h, next(temb_iter))
         return h
@@ -283,22 +304,25 @@ def apply_model(params, x, t, cfg: ModelConfig, *, train: bool = False, rng=None
 
 def _supports_full_flat(cfg: ModelConfig) -> bool:
     """True when every stage (k=3, C/F geometry) and every down/up stage
-    transition can run in the flat layout (see ops/pallas)."""
+    transition can run in the flat layout (see ops/pallas). The Mosaic
+    block-shape constraints (hw=) only bind when lowering to a real TPU;
+    CPU runs are interpret-mode tests on scaled-down geometry."""
     from ..ops.pallas.conv_flat import supports_flat
     from ..ops.pallas.conv_strided import supports_flat_down, supports_flat_up
 
+    hw = jax.default_backend() == "tpu"
     f = cfg.f_size
     prev = None
     for i, (c, krn) in enumerate(zip(cfg.ch, cfg.krn)):
         if krn != 3:
             return False
         if i:
-            if not supports_flat_down(prev, f, c):
+            if not supports_flat_down(prev, f, c, hw=hw):
                 return False
-            if not supports_flat_up(c, f // 2, prev):
+            if not supports_flat_up(c, f // 2, prev, hw=hw):
                 return False
             f //= 2
-        if not supports_flat(c, f):
+        if not supports_flat(c, f, hw=hw):
             return False
         prev = c
     return True
@@ -313,6 +337,7 @@ def _apply_model_flat(params, x, temb_chunks, cfg: ModelConfig):
     x: NHWC [B, T, F, channels] in compute dtype; returns [B, C, T, F] fp32
     (same contract as the XLA branch of apply_model)."""
     from ..ops.flat_resblock import resblock_flat
+    from ..ops.pallas.conv_flat import conv3x3_flat, pack_conv_weights
     from ..ops.pallas.conv_strided import (
         conv_down_flat,
         conv_up_flat,
@@ -334,9 +359,22 @@ def _apply_model_flat(params, x, temb_chunks, cfg: ModelConfig):
             hf, stats = res if not last else (res, None)
         return hf
 
-    h = conv_apply(params["down_modules"]["head"], x, padding=1)
-    bsz, t, f, _ = h.shape
-    hf = h.reshape(bsz, t, f * cfg.ch[0])
+    # Head conv as a flat kernel: the XLA NHWC conv pays a C=2→128 lane
+    # padding tax (~10 ms at sampling scale); instead zero-pad the input
+    # channels to ch[0] (fuses into the layout pass at model entry) and run
+    # the standard flat conv with channel-padded weights.
+    bsz, t, f, cin = x.shape
+    c0 = cfg.ch[0]
+    head = params["down_modules"]["head"]
+    w_head = jnp.zeros((3, 3, c0, c0), jnp.float32).at[:, :, :cin, :].set(
+        head["w"].astype(jnp.float32))
+    xp = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, c0 - cin)))
+    hf = conv3x3_flat(
+        xp.reshape(bsz, t, f * c0),
+        pack_conv_weights(w_head, compute_dtype),
+        add=jnp.tile(head["b"].astype(jnp.float32), f),
+        c=c0,
+    )
 
     hidden = []
     hidden.append(hf)
@@ -386,8 +424,20 @@ def _apply_model_flat(params, x, temb_chunks, cfg: ModelConfig):
             t *= 2
             f *= 2
     hf = hf + hidden.pop()
-    h = hf.reshape(bsz, t, f, cfg.ch[0])
-    h = conv_apply(params["up_modules"]["tail"], h, padding=1)
+    # Tail conv likewise flat: pad the ch[0]→channels weights to ch[0]→ch[0]
+    # and slice the first `channels` lanes afterwards (fuses into the final
+    # layout pass).
+    tail = params["up_modules"]["tail"]
+    cout = tail["w"].shape[3]
+    w_tail = jnp.zeros((3, 3, c0, c0), jnp.float32).at[:, :, :, :cout].set(
+        tail["w"].astype(jnp.float32))
+    b_tail = jnp.zeros((c0,), jnp.float32).at[:cout].set(
+        tail["b"].astype(jnp.float32))
+    of = conv3x3_flat(
+        hf, pack_conv_weights(w_tail, compute_dtype),
+        add=jnp.tile(b_tail, f), c=c0,
+    )
+    h = of.reshape(bsz, t, f, c0)[..., :cout]
     return jnp.transpose(h, (0, 3, 1, 2)).astype(jnp.float32)
 
 

@@ -57,8 +57,14 @@ def flat_period(c: int) -> int:
     return math.lcm(c, LANES)
 
 
-def supports_flat(c: int, f: int) -> bool:
-    return (f * c) % flat_period(c) == 0
+def supports_flat(c: int, f: int, hw: bool = True) -> bool:
+    # With hw=True (dispatch): the halo BlockSpecs are (1, 2·G, P) and
+    # Mosaic requires the sublane block dim divisible by 8, so G = F·C/P
+    # must be a multiple of 4 (true for all audio.yml stages; tiny test
+    # geometries fall back to XLA). hw=False checks only the tiling math
+    # (interpret-mode kernel tests).
+    p = flat_period(c)
+    return (f * c) % p == 0 and (not hw or ((f * c) // p) % 4 == 0)
 
 
 def pack_conv_weights(w, dtype=jnp.float32) -> jax.Array:

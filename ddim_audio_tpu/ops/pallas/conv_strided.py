@@ -55,7 +55,8 @@ def down_plan(c_in: int, c_out: int) -> tuple[int, int]:
     return p, 2 * c_in * p // c_out
 
 
-def supports_flat_down(c_in: int, f_in: int, c_out: int | None = None) -> bool:
+def supports_flat_down(c_in: int, f_in: int, c_out: int | None = None,
+                       hw: bool = True) -> bool:
     c_out = 2 * c_in if c_out is None else c_out
     p, s = down_plan(c_in, c_out)
     fc_in = f_in * c_in
@@ -65,6 +66,9 @@ def supports_flat_down(c_in: int, f_in: int, c_out: int | None = None) -> bool:
         and fc_in % s == 0
         and fc_out % p == 0
         and fc_in // s == fc_out // p
+        # halo BlockSpecs are (1, 2·R, S): Mosaic needs 2·R % 8 == 0
+        # (hw=False: interpret-mode tests on scaled-down geometry)
+        and (not hw or (fc_out // p) % 4 == 0)
     )
 
 
@@ -96,8 +100,7 @@ def pack_down_weights(w, dtype=jnp.float32):
 
 def _down_kernel(refs, *, tile_t, r, s, p, n_t, want_stats):
     it = iter(refs)
-    xe_ref, et_ref, eb_ref = next(it), next(it), next(it)
-    xo_ref, ot_ref, ob_ref = next(it), next(it), next(it)
+    x_ref, top_ref, bot_ref = next(it), next(it), next(it)
     w_ref = next(it)
     b_ref = next(it)
     out_ref = next(it)
@@ -109,11 +112,18 @@ def _down_kernel(refs, *, tile_t, r, s, p, n_t, want_stats):
     m = tile_t * r
     h = 2 * r
 
-    for sc, x_ref, t_ref, b2_ref in ((se, xe_ref, et_ref, eb_ref),
-                                     (so, xo_ref, ot_ref, ob_ref)):
-        sc[0:h, :] = t_ref[0]
-        sc[h : h + m, :] = x_ref[0]
-        sc[h + m :, :] = b2_ref[0]
+    # De-interleave the time-parity streams with banded in-VMEM copies
+    # (each input time row is R contiguous view rows) — the input is read
+    # from HBM exactly once, no host-side strided-slice pass.
+    for k in range(tile_t):
+        se[h + k * r : h + (k + 1) * r, :] = x_ref[0, 2 * k * r : (2 * k + 1) * r, :]
+        so[h + k * r : h + (k + 1) * r, :] = x_ref[0, (2 * k + 1) * r : (2 * k + 2) * r, :]
+    # halo block holds input time rows (2t0−2, 2t0−1); the deeper halo rows
+    # [0, h−r) are only ever read through masked taps.
+    se[h - r : h, :] = top_ref[0, 0:r, :]
+    so[h - r : h, :] = top_ref[0, r : 2 * r, :]
+    se[h + m : h + m + r, :] = bot_ref[0, 0:r, :]
+    so[h + m : h + m + r, :] = bot_ref[0, r : 2 * r, :]
 
     # time-boundary zero padding (the clamped edge halos hold duplicates)
     @pl.when(i == 0)
@@ -195,20 +205,19 @@ def conv_down_flat(x, w2, bias, *, c_in: int, c_out: int | None = None,
         bias = jnp.tile(bias, p // c_out)
     bias = bias.reshape(1, p)
 
-    # time-parity streams; the strided slices fuse into x's producer
-    xe = x[:, 0::2].reshape(bsz, t_out * r, s)
-    xo = x[:, 1::2].reshape(bsz, t_out * r, s)
-
-    main = pl.BlockSpec((1, tile_t * r, s), lambda b, i: (b, i, 0),
+    # full interleaved input view [B, T·R, S]; each tile reads 2·tile_t
+    # input time rows, the kernel de-interleaves in VMEM
+    xv = x.reshape(bsz, t * r, s)
+    main = pl.BlockSpec((1, 2 * tile_t * r, s), lambda b, i: (b, i, 0),
                         memory_space=pltpu.VMEM)
     top = pl.BlockSpec((1, 2 * r, s),
-                       lambda b, i: (b, jnp.maximum(i * ht - 1, 0), 0),
+                       lambda b, i: (b, jnp.maximum(i * tile_t - 1, 0), 0),
                        memory_space=pltpu.VMEM)
     bot = pl.BlockSpec((1, 2 * r, s),
-                       lambda b, i: (b, jnp.minimum((i + 1) * ht,
-                                                    t_out // 2 - 1), 0),
+                       lambda b, i: (b, jnp.minimum((i + 1) * tile_t,
+                                                    t // 2 - 1), 0),
                        memory_space=pltpu.VMEM)
-    in_specs = [main, top, bot, main, top, bot,
+    in_specs = [main, top, bot,
                 pl.BlockSpec(memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, p), lambda b, i: (0, 0),
                              memory_space=pltpu.VMEM)]
@@ -235,7 +244,7 @@ def conv_down_flat(x, w2, bias, *, c_in: int, c_out: int | None = None,
             pltpu.VMEM(((tile_t + 4) * r, s), x.dtype),
             pltpu.VMEM(((tile_t + 4) * r, s), x.dtype),
         ],
-    )(xe, xe, xe, xo, xo, xo, w2, bias)
+    )(xv, xv, xv, w2, bias)
     if want_stats:
         out, stats = result
         return (out.reshape(bsz, t_out, fc_out),
@@ -255,11 +264,17 @@ def up_plan(c_in: int, c_out: int) -> tuple[int, int]:
     return q, 2 * q * c_out // c_in
 
 
-def supports_flat_up(c_in: int, f_in: int, c_out: int) -> bool:
+def supports_flat_up(c_in: int, f_in: int, c_out: int,
+                     hw: bool = True) -> bool:
     q, p_s = up_plan(c_in, c_out)
     fc_in = f_in * c_in
-    return fc_in % q == 0 and (2 * f_in * c_out) % p_s == 0 and (
-        fc_in // q == (2 * f_in * c_out) // p_s
+    return (
+        fc_in % q == 0
+        and (2 * f_in * c_out) % p_s == 0
+        and fc_in // q == (2 * f_in * c_out) // p_s
+        # halo BlockSpecs are (1, 2·R, Q): Mosaic needs 2·R % 8 == 0
+        # (hw=False: interpret-mode tests on scaled-down geometry)
+        and (not hw or (fc_in // q) % 4 == 0)
     )
 
 
@@ -340,7 +355,14 @@ def _up_kernel(refs, *, tile_t, r, q, p_s, n_t):
                     rows, w_ref[j * q : (j + 1) * q, :],
                     preferred_element_type=jnp.float32,
                 )
-        out_ref[0, stream] = (acc + b_ref[0]).astype(out_ref.dtype)
+        out = (acc + b_ref[0]).astype(out_ref.dtype)
+        # interleave the time-parity streams with banded in-VMEM writes
+        # (output time row 2m+stream is R contiguous view rows) — no
+        # host-side transpose pass.
+        for k in range(tile_t):
+            out_ref[0, (2 * k + stream) * r : (2 * k + stream + 1) * r, :] = (
+                out[k * r : (k + 1) * r, :]
+            )
 
 
 def conv_up_flat(x, w2, bias, *, c_in: int, c_out: int,
@@ -390,13 +412,10 @@ def conv_up_flat(x, w2, bias, *, c_in: int, c_out: int,
         lambda *refs: kern(refs),
         grid=(bsz, n_t),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, 2, tile_t * r, p_s),
-                               lambda b, i: (b, 0, i, 0),
+        out_specs=pl.BlockSpec((1, 2 * tile_t * r, p_s),
+                               lambda b, i: (b, i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((bsz, 2, t * r, p_s), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((bsz, 2 * t * r, p_s), x.dtype),
         scratch_shapes=[pltpu.VMEM(((tile_t + 4) * r, q), x.dtype)],
     )(xv, xv, xv, w2, bias)
-    # interleave the two time-parity streams: [B, 2, T·R, P_s] →
-    # [B, T, 2, R·P_s] → [B, 2T, FC_out]; one (fusible) XLA transpose
-    out = out.reshape(bsz, 2, t, r * p_s).transpose(0, 2, 1, 3)
     return out.reshape(bsz, 2 * t, fc_out)

@@ -64,6 +64,22 @@ class Diffusion:
         )
         self.num_timesteps = self.schedule.num_timesteps
         self.mesh = make_mesh(getattr(config, "parallel", None))
+        if self.mesh is not None:
+            # GSPMD cannot auto-partition Pallas custom calls: the sharded
+            # TRAIN step and the sp>1 sampling path run XLA convs on a
+            # multi-device mesh (dp sampling keeps the flat kernels — each
+            # device runs them locally under shard_map, see _denoise_for).
+            import dataclasses
+
+            if self.model_cfg.conv_impl == "auto":
+                self.model_cfg = dataclasses.replace(
+                    self.model_cfg, conv_impl="xla"
+                )
+            if (self.mesh.shape.get("sp", 1) > 1
+                    and self.eval_cfg.conv_impl == "auto"):
+                self.eval_cfg = dataclasses.replace(
+                    self.eval_cfg, conv_impl="xla"
+                )
 
     # ------------------------------------------------------------------ train
 
@@ -98,7 +114,45 @@ class Diffusion:
         tb = _tb_writer(config)
         log_freq = int(getattr(config.training, "log_freq", 1))
         snapshot_freq = config.training.snapshot_freq
+        validation_freq = getattr(config.training, "validation_freq", None)
         pending = []  # (step, device-metrics) fetched lazily
+
+        # Periodic validation on the held-out split with the CURRENT params
+        # (consumes training.validation_freq, configs/audio.yml:74 — declared
+        # but dead in the reference). A few batches keep it cheap.
+        alphas = jnp.asarray(self.schedule.alphas_cumprod, jnp.float32)
+        loss_impl = loss_registry[config.model.type]
+        model_cfg = self.model_cfg
+
+        @jax.jit
+        def _val_loss(p, x0, t, e):
+            def apply_fn(pp, xx, tt):
+                return apply_model(pp, xx, tt, model_cfg, train=False)
+
+            return loss_impl(apply_fn, p, x0, t, e, alphas)
+
+        def run_validation(step):
+            vrng = np.random.default_rng(args.seed + step)
+            losses = []
+            for bi, (vx, _) in enumerate(batch_iterator(
+                test_dataset, config.training.batch_size, shuffle=False
+            )):
+                if bi >= 2:  # bounded cost inside the train loop
+                    break
+                t = jnp.asarray(
+                    vrng.integers(0, self.num_timesteps, size=(vx.shape[0],))
+                )
+                e = jax.random.normal(
+                    jax.random.key(int(vrng.integers(1 << 31))),
+                    vx.shape, jnp.float32,
+                )
+                losses.append(float(_val_loss(
+                    state.ema if config.model.ema else state.params,
+                    jnp.asarray(vx), t, e)))
+            val = float(np.mean(losses)) if losses else float("nan")
+            if tb is not None:
+                tb.add_scalar("val_loss", val, global_step=step)
+            logging.info("step: %d, val-loss: %.4f", step, val)
 
         def flush_metrics():
             for s, m in pending:
@@ -124,14 +178,18 @@ class Diffusion:
             if step % snapshot_freq == 0 or step == 1:
                 flush_metrics()
                 save_checkpoint(args.log_path, state, step, epoch=epoch)
+            if validation_freq and step % int(validation_freq) == 0:
+                flush_metrics()
+                run_validation(step)
 
         epoch = start_epoch
         try:
+            num_workers = int(getattr(config.data, "num_workers", 0) or 0)
             if config.training.n_epochs is not None:
                 for epoch in range(start_epoch, config.training.n_epochs):
                     for x, _ in batch_iterator(
                         dataset, config.training.batch_size, shuffle=True,
-                        seed=args.seed + epoch,
+                        seed=args.seed + epoch, num_workers=num_workers,
                     ):
                         step += 1
                         run_step(x, epoch, step)
@@ -139,7 +197,7 @@ class Diffusion:
                 while step < config.training.n_iters:
                     for x, _ in batch_iterator(
                         dataset, config.training.batch_size, shuffle=True,
-                        seed=args.seed + epoch,
+                        seed=args.seed + epoch, num_workers=num_workers,
                     ):
                         step += 1
                         run_step(x, epoch, step)
@@ -186,6 +244,30 @@ class Diffusion:
 
         return fn
 
+    def _denoise_for(self, batch: int):
+        """Denoise fn for a given batch size. On a multi-device mesh the
+        batch axis is mapped with ``shard_map`` (params replicated) — each
+        device runs the full per-sample model locally, which keeps the
+        Pallas flat kernels valid under data parallelism (GSPMD cannot
+        auto-partition custom calls). Falls back to the plain fn when the
+        batch doesn't divide dp or the mesh also shards time (sp>1 runs
+        the GSPMD/XLA path)."""
+        fn = self._denoise_fn
+        mesh = self.mesh
+        if (
+            mesh is not None
+            and mesh.shape.get("sp", 1) == 1
+            and batch % mesh.shape["dp"] == 0
+        ):
+            from jax.experimental.shard_map import shard_map
+            from jax.sharding import PartitionSpec as P
+
+            return shard_map(
+                fn, mesh=mesh, in_specs=(P(), P("dp"), P("dp")),
+                out_specs=P("dp"), check_rep=False,
+            )
+        return fn
+
     def sample(self):
         args = self.args
         if getattr(args, "use_pretrained", False):
@@ -201,6 +283,11 @@ class Diffusion:
             self.sample_interpolation(params)
         elif args.sequence is not None:
             self.sample_sequence(params)
+        elif getattr(self.config.sampling, "last_only", False):
+            # sampling.last_only (configs/audio.yml:71) — declared but never
+            # consumed by the reference; here it dispatches the buffer-free
+            # fast path and writes only the final WAV/PNG per sample.
+            self.sample_last_only(params)
         else:
             raise NotImplementedError("Sample procedeure not defined")
 
@@ -321,6 +408,59 @@ class Diffusion:
                 )
         logging.info("wrote %d sample steps to %s", len(outs), args.image_folder)
 
+    def sample_last_only(self, params):
+        """last_only: run the whole subsequence through the carry-only scan
+        (no kept-state buffers, nothing fetched mid-run) and export only the
+        final samples."""
+        args, config = self.args, self.config
+        x = jax.random.normal(
+            jax.random.key(args.seed),
+            (
+                config.sampling.num_samples,
+                config.model.channels,
+                config.sampling.t_size,
+                config.model.f_size,
+            ),
+            jnp.float32,
+        )
+        if self.mesh is not None and x.shape[0] % self.mesh.shape["dp"] == 0:
+            x = shard_batch(self.mesh, x)
+        seq = make_timestep_subsequence(
+            self.num_timesteps, args.timesteps, args.skip_type
+        )
+        sampler = ScanSampler(
+            self._denoise_for(int(x.shape[0])),
+            kind=args.sample_type,
+            scan_chunk=int(getattr(config.sampling, "scan_chunk", 100)),
+        )
+        out = sampler.sample_last(
+            x, seq, self.schedule, eta=args.eta,
+            key=jax.random.key(args.seed + 1), params=params,
+        )
+        out = np.asarray(out)
+        if config.sampling.denoise:
+            out = np.asarray(denoise_2d(jnp.asarray(out)))
+        out = out.transpose(0, 3, 2, 1)  # [N,C,T,F] → [N,F,T,C]
+
+        from PIL import Image
+        from scipy.io.wavfile import write as WAV_write
+
+        for j, img in enumerate(out):
+            path = os.path.join(args.image_folder, f"{j}_final")
+            Image.fromarray(limit_length_img(pfft2img(img))).save(path + ".png")
+            wav = pfft2wav(
+                img,
+                config.sampling.virtual_samplerate,
+                dtype=np.int32,
+                HPI=config.sampling.HPI,
+            )
+            WAV_write(
+                path + ".wav",
+                config.data.dataset_kwargs.virtual_samplerate,
+                wav,
+            )
+        logging.info("wrote %d final samples to %s", len(out), args.image_folder)
+
     def sample_image(self, x, params, select_index=None):
         """Timestep subsequence + sampler dispatch
         (reference runners/diffusion.py:475-520)."""
@@ -329,7 +469,7 @@ class Diffusion:
             self.num_timesteps, args.timesteps, args.skip_type
         )
         sampler = ScanSampler(
-            self._denoise_fn,
+            self._denoise_for(int(x.shape[0])),
             kind=args.sample_type,
             scan_chunk=int(getattr(self.config.sampling, "scan_chunk", 100)),
         )
@@ -341,6 +481,10 @@ class Diffusion:
             select_index=select_index,
             key=jax.random.key(args.seed + 1),
             params=params,
+            # fp16 kept-state buffers: halves HBM + device→host transfer —
+            # the dominant cost of --sequence sampling over the remote-TPU
+            # tunnel; exports are 8-bit PNG / PCM WAV, far below fp16 noise
+            buffer_dtype="float16",
         )
 
     # ------------------------------------------------------------------- test

@@ -92,24 +92,26 @@ class ScanSampler:
             self._cache[key_] = jax.jit(fn)
         return self._cache[key_]
 
-    def _buffered_chunk(self, n_slots, with_noise, ext_noise, shape, dtype):
-        key_ = ("buf", n_slots, with_noise, ext_noise, shape, str(dtype))
+    def _buffered_chunk(self, n_slots, with_noise, ext_noise, shape, dtype,
+                        buf_dtype):
+        key_ = ("buf", n_slots, with_noise, ext_noise, shape, str(dtype),
+                str(buf_dtype))
         if key_ not in self._cache:
             step = self._make_step(with_noise, ext_noise)
 
             def fn(params, x, coeffs, x0_slots, xt_slots, rng):
-                x0_buf = jnp.zeros((n_slots + 1,) + shape, dtype)
-                xt_buf = jnp.zeros((n_slots + 1,) + shape, dtype)
+                x0_buf = jnp.zeros((n_slots + 1,) + shape, buf_dtype)
+                xt_buf = jnp.zeros((n_slots + 1,) + shape, buf_dtype)
 
                 def body(carry, inp):
                     x, x0_buf, xt_buf = carry
                     coeff, x0_slot, xt_slot = inp
                     x0, x_next = step(params, x, coeff, rng)
                     x0_buf = jax.lax.dynamic_update_index_in_dim(
-                        x0_buf, x0, x0_slot, 0
+                        x0_buf, x0.astype(buf_dtype), x0_slot, 0
                     )
                     xt_buf = jax.lax.dynamic_update_index_in_dim(
-                        xt_buf, x_next, xt_slot, 0
+                        xt_buf, x_next.astype(buf_dtype), xt_slot, 0
                     )
                     return (x_next, x0_buf, xt_buf), None
 
@@ -186,24 +188,45 @@ class ScanSampler:
         key=None,
         noise_override=None,
         params=None,
+        buffer_dtype=None,
     ):
         """Full-parity path: returns (xs, x0_preds) as lists of host numpy
         arrays, xs[0] = the input noise (reference functions/denoising.py:17).
 
         noise_override: optional [K, *x.shape] array of per-step noises (used
-        by parity tests to share noise with the torch reference)."""
+        by parity tests to share noise with the torch reference).
+        buffer_dtype: on-device dtype of the kept-state buffers; float16
+        halves both HBM and the device→host transfer volume (the dominant
+        cost of trajectory sampling over a remote-TPU tunnel) — host outputs
+        are upcast back to float32. None keeps x.dtype (bit-exact path).
+
+        Device→host fetches of chunk i overlap chunk i+1's compute: the next
+        chunk is dispatched (async) and each buffer's transfer is started
+        with ``copy_to_host_async`` before the previous chunk's results are
+        materialized."""
         coeffs = self._coeff_arrays(schedule, seq, eta)
         K = len(coeffs[0])
         sel = selected_steps(K, select_index)
         with_noise = self._needs_noise(eta)
         ext_noise = noise_override is not None
         rng = key if key is not None else jax.random.key(0)
+        buf_dtype = x.dtype if buffer_dtype is None else jnp.dtype(buffer_dtype)
 
         max_slots = max(1, int(_BUFFER_BUDGET_BYTES // (2 * max(x.nbytes, 1))) - 1)
         chunks = _chunk_plan(K, sel, self.scan_chunk, max_slots)
 
         xs = [np.asarray(x)]
         x0_preds = []
+        pending = None  # (x0_buf, xt_buf) from the previous chunk, in flight
+
+        def drain(bufs):
+            x0_buf, xt_buf = bufs
+            x0_host = np.asarray(x0_buf).astype(np.float32, copy=False)
+            xt_host = np.asarray(xt_buf).astype(np.float32, copy=False)
+            for i in range(x0_host.shape[0]):
+                x0_preds.append(x0_host[i])
+                xs.append(xt_host[i])
+
         for start, stop, kept in chunks:
             packed = self._pack(coeffs, start, stop, with_noise)
             if ext_noise:
@@ -217,14 +240,21 @@ class ScanSampler:
             slots = np.array(
                 [slot_of.get(k, n_slots) for k in range(start, stop)], np.int32
             )
-            fn = self._buffered_chunk(n_slots, with_noise, ext_noise, x.shape, x.dtype)
+            fn = self._buffered_chunk(n_slots, with_noise, ext_noise, x.shape,
+                                      x.dtype, buf_dtype)
             x, x0_buf, xt_buf = fn(
                 params, x, packed, jnp.asarray(slots), jnp.asarray(slots), rng
             )
-            x0_host, xt_host = np.asarray(x0_buf), np.asarray(xt_buf)
-            for i in range(n_slots):
-                x0_preds.append(x0_host[i])
-                xs.append(xt_host[i])
+            for buf in (x0_buf, xt_buf):
+                try:
+                    buf.copy_to_host_async()
+                except Exception:
+                    pass  # not all backends expose async copies
+            if pending is not None:
+                drain(pending)  # overlaps with the chunk dispatched above
+            pending = (x0_buf, xt_buf)
+        if pending is not None:
+            drain(pending)
         return xs, x0_preds
 
     def _needs_noise(self, eta):

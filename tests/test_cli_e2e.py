@@ -142,6 +142,40 @@ def test_bf16_sampling_dtype_override(workspace, tmp_path):
     assert len([f for f in os.listdir(img_dir) if f.endswith(".wav")]) == 2
 
 
+def test_validation_freq_cli(workspace, tmp_path):
+    """training.validation_freq (configs/audio.yml:74 — a dead knob in the
+    reference) periodically evaluates the held-out split during training."""
+    ws, cfg_path = workspace
+    with open(cfg_path) as f:
+        raw = yaml.safe_load(f)
+    raw["training"]["validation_freq"] = 2
+    raw["training"]["n_iters"] = 4
+    cfg2 = tmp_path / "val.yml"
+    with open(cfg2, "w") as f:
+        yaml.dump(raw, f)
+    exp = str(tmp_path / "exp")
+    code = _run(["--config", str(cfg2), "--doc", "valrun", "--exp", exp,
+                 "--ni", "--seed", "7"])
+    assert code == 0
+    with open(os.path.join(exp, "logs", "valrun", "stdout.txt")) as f:
+        log = f.read()
+    assert log.count("val-loss:") == 2  # steps 2 and 4
+
+
+def test_last_only_sampling_cli(workspace):
+    """--sample without --sequence consumes sampling.last_only: the
+    buffer-free fast path writes only the final WAV/PNG per sample."""
+    ws, cfg_path = workspace
+    exp = str(ws / "exp")
+    code = _run(["--config", cfg_path, "--doc", "smoke", "--exp", exp,
+                 "--ni", "--seed", "21", "--sample",
+                 "--timesteps", "10", "-i", "smoke_last"])
+    assert code == 0
+    img_dir = os.path.join(exp, "image_samples", "smoke_last")
+    files = sorted(os.listdir(img_dir))
+    assert files == ["0_final.png", "0_final.wav"]
+
+
 def test_ddpm_sampling_cli(workspace):
     ws, cfg_path = workspace
     exp = str(ws / "exp")

@@ -187,3 +187,81 @@ def test_read_audio_resample(tmp_path):
     out = read_audio(str(tmp_path / "a.wav"), 16000)
     assert abs(len(out) - 16000) <= 1
     assert np.abs(out).max() <= 1.001
+
+
+def test_dataset_caches_decodes_and_header_lengths(tmp_path, monkeypatch):
+    """Feed-capable pipeline (round-2): init decodes nothing (lengths come
+    from headers), and repeated __getitem__ of windows of the same clip hit
+    the waveform LRU — one decode per file."""
+    from scipy.io import wavfile
+
+    from ddim_audio_tpu.data import audio_dataset as ad
+    from ddim_audio_tpu.ops.stft import STFTConfig, num_samples
+
+    cfg = STFTConfig(f_size=16, virtual_samplerate=16000)
+    window = num_samples(cfg, 8)
+    rng = np.random.default_rng(0)
+    for i in range(2):
+        wave = (0.3 * rng.standard_normal(3 * window)).astype(np.float32)
+        wavfile.write(tmp_path / f"c{i}.wav", 16000,
+                      (wave * 32767).astype(np.int16))
+
+    calls = []
+    real = ad.read_audio
+
+    def counting(path, sr):
+        calls.append(path)
+        return real(path, sr)
+
+    monkeypatch.setattr(ad, "read_audio", counting)
+    ds = ad.AudioDataset(str(tmp_path), f_size=16, t_size=8,
+                         virtual_samplerate=16000)
+    assert calls == []  # header-only init, no decode
+    assert len(ds) == 6  # 3 windows × 2 files
+    for i in range(len(ds)):
+        x, _ = ds[i]
+        assert x.shape == (2, 8, 16)
+    assert len(calls) == 2  # one decode per file, windows hit the cache
+
+
+def test_audio_length_matches_decode(tmp_path):
+    from scipy.io import wavfile
+
+    from ddim_audio_tpu.data.audio_dataset import audio_length
+    from ddim_audio_tpu.data.codec import read_audio
+
+    sr = 8000
+    wave = (0.1 * np.random.default_rng(1).standard_normal(5000)
+            ).astype(np.float32)
+    wavfile.write(tmp_path / "a.wav", sr, (wave * 32767).astype(np.int16))
+    for target in (8000, 16000, 48000):
+        n_header = audio_length(str(tmp_path / "a.wav"), target)
+        n_decode = len(read_audio(str(tmp_path / "a.wav"), target))
+        assert n_header == n_decode
+
+    np.save(tmp_path / "b.npy", wave)
+    assert audio_length(str(tmp_path / "b.npy"), 16000) == 5000
+
+
+def test_batch_iterator_num_workers_parity(tmp_path):
+    """Threaded prefetch yields byte-identical batches in the same order."""
+    from scipy.io import wavfile
+
+    from ddim_audio_tpu.data.audio_dataset import AudioDataset, batch_iterator
+    from ddim_audio_tpu.ops.stft import STFTConfig, num_samples
+
+    cfg = STFTConfig(f_size=16, virtual_samplerate=16000)
+    window = num_samples(cfg, 8)
+    rng = np.random.default_rng(2)
+    for i in range(5):
+        wave = (0.3 * rng.standard_normal(window)).astype(np.float32)
+        wavfile.write(tmp_path / f"c{i}.wav", 16000,
+                      (wave * 32767).astype(np.int16))
+    ds = AudioDataset(str(tmp_path), f_size=16, t_size=8,
+                      virtual_samplerate=16000)
+    a = list(batch_iterator(ds, 2, shuffle=True, seed=3, num_workers=0))
+    b = list(batch_iterator(ds, 2, shuffle=True, seed=3, num_workers=3))
+    assert len(a) == len(b)
+    for (xa, ya), (xb, yb) in zip(a, b):
+        np.testing.assert_array_equal(xa, xb)
+        np.testing.assert_array_equal(ya, yb)

@@ -109,7 +109,7 @@ def test_down_conv_flat_matches_xla(c_in, c_out, f):
         supports_flat_down,
     )
 
-    assert supports_flat_down(c_in, f, c_out)
+    assert supports_flat_down(c_in, f, c_out, hw=False)
     rng = np.random.default_rng(c_in)
     B, T = 2, 16
     x = rng.standard_normal((B, T, f, c_in)).astype(np.float32)
@@ -167,7 +167,7 @@ def test_up_conv_flat_matches_xla(c_out, c_in, f):
     )
 
     f_in = f // 2  # the up stage operates at the downsampled resolution
-    assert supports_flat_up(c_in, f_in, c_out)
+    assert supports_flat_up(c_in, f_in, c_out, hw=False)
     rng = np.random.default_rng(c_in)
     B, T = 2, 8
     x = rng.standard_normal((B, T, f_in, c_in)).astype(np.float32)
@@ -324,6 +324,66 @@ def test_full_model_full_flat_path_matches_xla():
     with pltpu.force_tpu_interpret_mode():
         out = apply_model(params, x, t, cfg_p)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)
+
+
+def test_full_model_train_grads_flat_vs_xla():
+    """Training gradients through the flat custom-VJP resblocks equal the
+    XLA path's gradients for the whole model (loss → every param leaf)."""
+    import dataclasses
+
+    from ddim_audio_tpu.models.unet import ModelConfig, apply_model, init_model
+    from ddim_audio_tpu.utils.namespace import dict2namespace
+
+    transformers = dict2namespace(
+        {
+            "module": "fnet",
+            "kwargs": {
+                "hidden_size": 32,
+                "num_hidden_layers": 1,
+                "intermediate_size": 64,
+                "hidden_act": "gelu_new",
+                "hidden_dropout_prob": 0.0,
+                "initializer_range": 0.02,
+                "layer_norm_eps": 1e-6,
+            },
+            "channels": 32,
+            "dtype": None,
+            "fourier_impl": "dft_matmul",
+        }
+    )
+    cfg_x = ModelConfig(
+        channels=2, f_size=16, ch=(32, 64), krn=(3, 3), res=(1, 1),
+        num_timesteps=50, transformers=transformers, conv_impl="xla",
+        remat=False,
+    )
+    cfg_p = dataclasses.replace(cfg_x, conv_impl="pallas")
+    params = init_model(jax.random.key(0), cfg_x)
+    rng = np.random.default_rng(9)
+    for mod in ("down_modules", "up_modules"):
+        for stage in params[mod]["stages"]:
+            for block in stage["blocks"]:
+                c = block["norm3"]["g"].shape[0]
+                block["norm3"]["g"] = jnp.asarray(
+                    1.0 + 0.2 * rng.standard_normal(c).astype(np.float32))
+    x = jax.random.normal(jax.random.key(1), (2, 2, 8, 16))
+    tgt = jax.random.normal(jax.random.key(2), (2, 2, 8, 16))
+    t = jnp.array([3, 17])
+
+    def loss(p, cfg):
+        out = apply_model(p, x, t, cfg, train=True)
+        return jnp.mean((out - tgt) ** 2)
+
+    ref_v, ref_g = jax.value_and_grad(loss)(params, cfg_x)
+    with pltpu.force_tpu_interpret_mode():
+        got_v, got_g = jax.value_and_grad(loss)(params, cfg_p)
+    np.testing.assert_allclose(float(got_v), float(ref_v), rtol=1e-5)
+    for path, leaf in jax.tree_util.tree_leaves_with_path(got_g):
+        ref_leaf = ref_g
+        for k in path:
+            ref_leaf = ref_leaf[k.key if hasattr(k, "key") else k.idx]
+        np.testing.assert_allclose(
+            np.asarray(leaf), np.asarray(ref_leaf), rtol=1e-4, atol=2e-5,
+            err_msg=str(path))
 
 
 def test_full_model_pallas_path_matches_xla(tiny_cfg):
