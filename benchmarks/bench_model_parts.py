@@ -133,7 +133,8 @@ def main():
 
         def dn_op(xx, w2d=w2d, bd=bd, prev=prev, c=c, t=t):
             o = conv_down_flat(xx, w2d, bd, c_in=prev, c_out=c)
-            return jnp.tile(o, (1, 2, 1))[:, :, : xx.shape[2]]
+            # fold back to input shape so the op chains (fc_out ≤ fc_in ≤ 2·fc_out)
+            return jnp.tile(o, (1, 2, 2))[:, :, : xx.shape[2]]
 
         total += time_op(
             f"down {prev}->{c} [t={t}] (incl retile)", dn_op, x)

@@ -369,18 +369,18 @@ def _apply_model_flat(params, x, temb_chunks, cfg: ModelConfig):
     w_head = jnp.zeros((3, 3, c0, c0), jnp.float32).at[:, :, :cin, :].set(
         head["w"].astype(jnp.float32))
     xp = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, c0 - cin)))
-    hf = conv3x3_flat(
+    hf, hs1, hs2 = conv3x3_flat(
         xp.reshape(bsz, t, f * c0),
         pack_conv_weights(w_head, compute_dtype),
         add=jnp.tile(head["b"].astype(jnp.float32), f),
-        c=c0,
+        c=c0, want_stats=True,
     )
 
     hidden = []
     hidden.append(hf)
     prev = None
     for stage, c in zip(params["down_modules"]["stages"], cfg.ch):
-        stats = None
+        stats = (hs1, hs2)  # stage 0: head conv emitted its own GN stats
         if "down" in stage:
             w2 = pack_down_weights(stage["down"]["w"], compute_dtype)
             hf, s1, s2 = conv_down_flat(
@@ -410,23 +410,32 @@ def _apply_model_flat(params, x, temb_chunks, cfg: ModelConfig):
     hf = (z.reshape(bsz, t, cc, f).transpose(0, 1, 3, 2)
           .reshape(bsz, t, f * cc).astype(compute_dtype))
 
+    # Up path: each stage's skip add AND the next GroupNorm's statistics
+    # fuse into the preceding transposed-conv kernel (conv_up_flat
+    # residual=/want_stats=), so `up(h) + hidden` never materializes a
+    # separate sum and the stage's first resblock never re-reads it for
+    # stats. Only the bottleneck-scale add (tiny) stays an XLA op.
     up_stages = list(params["up_modules"]["stages"])
     chs = list(cfg.ch)
+    stats = None
     for idx in range(len(up_stages) - 1, -1, -1):
         stage, c = up_stages[idx], chs[idx]
-        hf = hf + hidden.pop()
-        hf = run_blocks_flat(stage, hf, f, c, None)
+        if idx == len(up_stages) - 1:
+            hf = hf + hidden.pop()
+        hf = run_blocks_flat(stage, hf, f, c, stats)
         if "up" in stage:
             w2 = pack_up_weights(stage["up"]["w"], compute_dtype)
-            hf = conv_up_flat(
-                hf, w2, stage["up"]["b"], c_in=c, c_out=chs[idx - 1]
+            hf, s1, s2 = conv_up_flat(
+                hf, w2, stage["up"]["b"], c_in=c, c_out=chs[idx - 1],
+                residual=hidden.pop(), want_stats=True,
             )
+            stats = (s1, s2)
             t *= 2
             f *= 2
-    hf = hf + hidden.pop()
     # Tail conv likewise flat: pad the ch[0]→channels weights to ch[0]→ch[0]
     # and slice the first `channels` lanes afterwards (fuses into the final
-    # layout pass).
+    # layout pass). The final head skip add rides the kernel's residual
+    # stream.
     tail = params["up_modules"]["tail"]
     cout = tail["w"].shape[3]
     w_tail = jnp.zeros((3, 3, c0, c0), jnp.float32).at[:, :, :, :cout].set(
@@ -435,7 +444,7 @@ def _apply_model_flat(params, x, temb_chunks, cfg: ModelConfig):
         tail["b"].astype(jnp.float32))
     of = conv3x3_flat(
         hf, pack_conv_weights(w_tail, compute_dtype),
-        add=jnp.tile(b_tail, f), c=c0,
+        add=jnp.tile(b_tail, f), c=c0, residual=hidden.pop(),
     )
     h = of.reshape(bsz, t, f, c0)[..., :cout]
     return jnp.transpose(h, (0, 3, 1, 2)).astype(jnp.float32)

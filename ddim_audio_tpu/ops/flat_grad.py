@@ -4,16 +4,15 @@ forward-only, so the fp32 train step paid XLA's NHWC lane-padding tax).
 
 The backward of the stride-1 flat conv is two more flat ops:
 
-- dx is the SAME kernel with spatially-reversed, transposed weight blocks:
-  forward  out[r] = Σ_j  mask_j(r) · x[r + Δ_j] · W_j
-  backward dx[s]  = Σ_j' mask_j'(s) · g[s + Δ_j'] · W'_j'
-  with j = (dt, dg) ↔ j' = (2−dt, 2−dg), Δ_j' = −Δ_j, W'_j' = W_jᵀ — and the
-  kernel's own first/last-period masks are exactly the transported forward
-  masks (proved in tests against jax.vjp of the XLA conv).
-- dW is one new kernel (`_dw_kernel`): per tap, the [P, P] contraction
-  x_rows(masked, shifted)ᵀ · g_rows accumulated over the whole grid into a
-  packed [9P, P] gradient; unpacking to [3, 3, C, C] happens for free by
-  letting JAX autodiff `pack_conv_weights` (scatter-add → gather-sum).
+- dx is the SAME kernel run on the incoming cotangent with the
+  spatially-flipped, I/O-transposed HWIO kernel (w'[dt,df,i,o] =
+  w[2−dt,2−df,o,i]), packed with the regular `pack_conv_weights` — the
+  kernel's own boundary masks are exactly the transported forward masks
+  (proved in tests against jax.vjp of the XLA conv).
+- dW is one new kernel (`_dw_kernel`): per row-shifted tap, the [P, P]
+  contraction x_rows(masked, shifted)ᵀ · g_rows accumulated over the whole
+  grid into a 9-format [9P, P] gradient; unpacking to [3, 3, C, C] happens
+  for free through the VJP of `_pack9` (scatter-add → gather-sum).
 
 GroupNorm/SiLU stay XLA ops on the FLAT [B, T, F·C] arrays (reductions read
 through bitcast reshapes; normalize is a per-lane affine), so the training
@@ -34,6 +33,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .pallas.conv_flat import (
+    _pack9,
     _pick_tile_t,
     conv3x3_flat,
     flat_period,
@@ -42,17 +42,6 @@ from .pallas.conv_flat import (
 
 GROUPS = 8
 EPS = 1e-6
-
-
-def transpose_pack(w2, p: int):
-    """Packed forward weights [9P, P] → packed weights of the input-VJP:
-    block j = (dt, dg) becomes block (2−dt, 2−dg) transposed."""
-    blocks = []
-    for j in range(9):
-        dt, dg = j // 3, j % 3
-        src = (2 - dt) * 3 + (2 - dg)
-        blocks.append(w2[src * p : (src + 1) * p, :].T)
-    return jnp.concatenate(blocks, axis=0)
 
 
 def _dw_kernel(refs, *, tile_t, g, p, n_t):
@@ -154,32 +143,39 @@ def conv_dw_flat(x, gout, *, c: int, tile_t: int | None = None):
 @functools.cache
 def _conv_op(c: int):
     """Differentiable fused flat conv for channel width c:
-    op(x [B,T,FC], w2 [9P,P] packed, add [FC] or [B,FC]) → [B,T,FC]."""
-    p = flat_period(c)
+    op(x [B,T,FC], w [3,3,C,C] HWIO, add [FC] or [B,FC]) → [B,T,FC].
+
+    Takes the RAW weight (packing happens inside, in-graph — XLA hoists the
+    loop-invariant pack out of scan/accumulation loops) so the backward is
+    pack-format-agnostic: dx packs the spatially-flipped, I/O-transposed
+    kernel; dW comes from the 9-format `conv_dw_flat` accumulator and is
+    unpacked to HWIO through `_pack9`'s VJP (scatter-add → gather-sum)."""
 
     @jax.custom_vjp
-    def op(x, w2, add):
-        return conv3x3_flat(x, w2, c=c, add=add)
+    def op(x, w, add):
+        return conv3x3_flat(x, pack_conv_weights(w, x.dtype), c=c, add=add)
 
-    def fwd(x, w2, add):
-        return op(x, w2, add), (x, w2, add.ndim)
+    def fwd(x, w, add):
+        return op(x, w, add), (x, w, add.ndim)
 
     def bwd(res, gout):
-        x, w2, add_ndim = res
-        w2b = transpose_pack(w2.astype(gout.dtype), p)
-        dx = conv3x3_flat(gout, w2b, c=c)
-        dw2 = conv_dw_flat(x, gout, c=c).astype(w2.dtype)
+        x, w, add_ndim = res
+        wb = jnp.flip(w, axis=(0, 1)).transpose(0, 1, 3, 2)
+        dx = conv3x3_flat(gout, pack_conv_weights(wb, gout.dtype), c=c)
+        dw2 = conv_dw_flat(x, gout, c=c)
+        _, unpack = jax.vjp(_pack9, w.astype(jnp.float32))
+        (dw,) = unpack(dw2)
         gsum = jnp.sum(gout.astype(jnp.float32), axis=1)  # [B, FC]
         dadd = jnp.sum(gsum, axis=0) if add_ndim == 1 else gsum
-        return dx, dw2, dadd
+        return dx, dw.astype(w.dtype), dadd
 
     op.defvjp(fwd, bwd)
     return op
 
 
-def conv3x3_flat_t(x, w2, add, *, c: int):
-    """Trainable (custom-VJP) fused flat conv + per-lane add."""
-    return _conv_op(c)(x, w2, add)
+def conv3x3_flat_t(x, w, add, *, c: int):
+    """Trainable (custom-VJP) fused flat conv + per-lane add (w: raw HWIO)."""
+    return _conv_op(c)(x, w, add)
 
 
 def gn_flat(pnorm, x, *, f: int, c: int):
@@ -211,18 +207,15 @@ def resblock_flat_train(p, x_flat, temb, *, f: int, c: int):
     models.unet._resblock_apply (reference models/diffusion.py:42-56), with
     the convs on the Pallas flat kernels (fwd AND bwd) and GN/SiLU as
     unpadded XLA ops."""
-    dtype = x_flat.dtype
-    w1 = pack_conv_weights(p["conv1"]["w"], dtype)
-    w2 = pack_conv_weights(p["conv2"]["w"], dtype)
     temb_flat = jnp.tile(temb.astype(jnp.float32), (1, f))
     bias2_flat = jnp.tile(p["conv2"]["b"].astype(jnp.float32), f)
 
     h = gn_flat(p["norm1"], x_flat, f=f, c=c)
     h = jax.nn.silu(h)
-    h = conv3x3_flat_t(h, w1, temb_flat, c=c)
+    h = conv3x3_flat_t(h, p["conv1"]["w"], temb_flat, c=c)
     h = jax.nn.silu(h)
     h = gn_flat(p["norm2"], h, f=f, c=c)
-    h = conv3x3_flat_t(h, w2, bias2_flat, c=c)
+    h = conv3x3_flat_t(h, p["conv2"]["w"], bias2_flat, c=c)
     h = jax.nn.silu(h)
     h = gn_flat(p["norm3"], h, f=f, c=c)
     return x_flat + h

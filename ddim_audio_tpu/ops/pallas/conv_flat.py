@@ -68,19 +68,56 @@ def supports_flat(c: int, f: int, hw: bool = True) -> bool:
 
 
 def pack_conv_weights(w, dtype=jnp.float32) -> jax.Array:
-    """w [3, 3, C, C] (HWIO) → [9·P, P] blocks for taps (dt, dg), P = lcm(C, 128).
+    """w [3, 3, C, C] (HWIO) → packed MXU tap blocks, P = lcm(C, 128).
 
-    For output lane (fo·C + co), fo ∈ [0, P/C), and conv tap (dt, df):
-        o = fo + df − 1, dg = 1 + floor(o / fpp), fi = o mod fpp
-        W2[(dt·3+dg)·P + fi·C + ci, fo·C + co] = w[dt, df, ci, co]
-    with fpp = P/C f-positions per period. F-boundary zeros are applied by
-    the kernel's first/last-period row masks."""
+    fpp = P/C == 1 (C ∈ {128, 256}): the 9-tap format of `_pack9` —
+    optimal, since the 3×3 f-window maps 1:1 onto 3 period-row offsets.
+
+    fpp ≥ 2: a [6·P, P] 2-view format. The kernel materializes two
+    lane-rotated copies of the input stream — view A shifted right by C
+    lanes (lane (o+1)·C holds f-offset o ∈ [−1, fpp−2]) and view B shifted
+    left (lane (o−1)·C holds o ∈ [1, fpp]) — so the 3 period-row offsets
+    per time tap collapse into 2 full-density matmuls:
+        block j = dt·2 + v, v = A if o ≤ fpp−2 else B
+        W2[j·P + rowA/B(o)·C + ci, fo·C + co] = w[dt, df, ci, co]
+    with o = fo + df − 1, rowA = o+1, rowB = o−1. 6 MXU passes instead of
+    9 — a 1.5× matmul-work cut at every width the lane padding taxed.
+    F-boundary zeros are applied by the kernel's view masks."""
     kh, kw, c, co = w.shape
     assert kh == 3 and kw == 3 and c == co
     p = flat_period(c)
     fpp = p // c
+    if fpp == 1:
+        return _pack9(w).astype(dtype)
     # jnp (traceable) so packing can run inside jit on live params; a
     # handful of static-index block adds, hoisted out of sampler scan loops.
+    w2 = jnp.zeros((6 * p, p), jnp.float32)
+    for dt in range(3):
+        for df in range(3):
+            for fo in range(fpp):
+                o = fo + df - 1
+                if o <= fpp - 2:
+                    j, row = dt * 2, (o + 1) * c
+                else:
+                    j, row = dt * 2 + 1, (o - 1) * c
+                w2 = w2.at[
+                    j * p + row : j * p + row + c,
+                    fo * c : (fo + 1) * c,
+                ].add(w[dt, df].astype(jnp.float32))
+    return w2.astype(dtype)
+
+
+def _pack9(w) -> jax.Array:
+    """The fpp == 1 / gradient-accumulator format: [9·P, P] blocks for taps
+    (dt, dg) ∈ 3×3 period-row offsets:
+        o = fo + df − 1, dg = 1 + floor(o / fpp), fi = o mod fpp
+        W2[(dt·3+dg)·P + fi·C + ci, fo·C + co] = w[dt, df, ci, co].
+    `flat_grad.conv_dw_flat` always emits this format (its 9 row-shifted
+    tap contractions need no lane rotation); its VJP unpacks to HWIO."""
+    kh, kw, c, co = w.shape
+    assert kh == 3 and kw == 3 and c == co
+    p = flat_period(c)
+    fpp = p // c
     w2 = jnp.zeros((9 * p, p), jnp.float32)
     for dt in range(3):
         for df in range(3):
@@ -93,16 +130,18 @@ def pack_conv_weights(w, dtype=jnp.float32) -> jax.Array:
                     j * p + fi * c : j * p + (fi + 1) * c,
                     fo * c : (fo + 1) * c,
                 ].add(w[dt, df].astype(jnp.float32))
-    return w2.astype(dtype)
+    return w2
 
 
-def _conv_kernel(refs, *, tile_t, g, p, n_t, has_pre, pre_silu, has_add,
-                 post_silu, want_stats):
+def _conv_kernel(refs, *, tile_t, g, p, fpp, n_t, has_res, has_pre, pre_silu,
+                 has_add, post_silu, want_stats):
     it = iter(refs)
     x_ref = next(it)
     top_ref = next(it)
     bot_ref = next(it)
     w_ref = next(it)
+    if has_res:
+        rm_ref, rt_ref, rb_ref = next(it), next(it), next(it)
     pre_ref = next(it) if has_pre else None
     add_ref = next(it) if has_add else None
     out_ref = next(it)
@@ -123,12 +162,19 @@ def _conv_kernel(refs, *, tile_t, g, p, n_t, has_pre, pre_silu, has_add,
         gj = jax.lax.broadcasted_iota(jnp.int32, (rows, g), 1)
         return (gi == gj).astype(jnp.float32)
 
-    # Assemble the halo-extended input [h + m + h, p]: raw values first,
-    # then one fused prologue pass, then zero the t-boundary halos (the
+    # Assemble the halo-extended input [h + m + h, p]: raw values first
+    # (with the optional skip-connection residual summed in — the conv
+    # reads the sum, so the add costs only the residual's stream-in), then
+    # one fused prologue pass, then zero the t-boundary halos (the
     # reference pads AFTER norm/SiLU, so pad rows are zero post-prologue).
-    scratch[0:h, :] = top_ref[0]
-    scratch[h : h + m, :] = x_ref[0]
-    scratch[h + m :, :] = bot_ref[0]
+    if has_res:
+        scratch[0:h, :] = top_ref[0] + rt_ref[0]
+        scratch[h : h + m, :] = x_ref[0] + rm_ref[0]
+        scratch[h + m :, :] = bot_ref[0] + rb_ref[0]
+    else:
+        scratch[0:h, :] = top_ref[0]
+        scratch[h : h + m, :] = x_ref[0]
+        scratch[h + m :, :] = bot_ref[0]
 
     if has_pre or pre_silu:
         vals = scratch[:, :].astype(jnp.float32)
@@ -150,30 +196,86 @@ def _conv_kernel(refs, *, tile_t, g, p, n_t, has_pre, pre_silu, has_add,
     def _():
         scratch[h + m :, :] = jnp.zeros((h, p), scratch.dtype)
 
-    # f-boundary zero padding: the ±1 period shift crosses a time row
-    # exactly at the first/last period — those taps must contribute zero.
-    # Masked copies are materialized ONCE into scratch buffers (not once
-    # per tap — nine live [M, P] temporaries blow the Mosaic stack).
     nz = m + 2 * h
-    gidx = jax.lax.broadcasted_iota(jnp.int32, (nz, 1), 0) % g
     zero = jnp.zeros((), scratch.dtype)
-    lo_scr[:, :] = jnp.where(gidx == g - 1, zero, scratch[:, :])
-    hi_scr[:, :] = jnp.where(gidx == 0, zero, scratch[:, :])
-
     acc = jnp.zeros((m, p), jnp.float32)
-    for dt in range(3):
-        for dg in range(3):
-            delta = (dt - 1) * g + (dg - 1)
-            # dg=0 reads row r−1 (valid except at each time row's first
-            # period → mask source rows that are a period's LAST row);
-            # dg=2 reads r+1 (mask source rows that are a period's first).
-            src = (lo_scr, scratch, hi_scr)[dg]
-            rows = src[h + delta : h + delta + m, :]
-            j = dt * 3 + dg
-            acc = acc + jnp.dot(
-                rows, w_ref[j * p : (j + 1) * p, :],
-                preferred_element_type=jnp.float32,
-            )
+    if fpp >= 2:
+        # 2-view scheme (see pack_conv_weights): build two lane-rotated
+        # copies of the stream so each time tap needs 2 full-density
+        # matmuls instead of 3 sparse ones. Cross-period-row lane carry is
+        # a sublane roll of the rotated copy + lane select; the f-boundary
+        # (f = −1 / f = F) zeros land exactly on the carried lanes of the
+        # first/last period row of each time row.
+        c = p // fpp
+
+        def lane_roll(v, shift):
+            # Mosaic lane rotate is 32-bit-only; 16-bit dtypes go through a
+            # sublane-packing bitcast ([nz, p] bf16 → [nz/2, p] i32 pairs
+            # adjacent rows per lane, so an i32 lane roll rotates both
+            # packed rows by the same lane count).
+            if v.dtype.itemsize == 4:
+                return pltpu.roll(v, shift=shift, axis=1)
+            assert v.dtype.itemsize == 2 and v.shape[0] % 2 == 0
+            vi = pltpu.bitcast(v, jnp.int32)
+            return pltpu.bitcast(pltpu.roll(vi, shift=shift, axis=1), v.dtype)
+
+        vals = scratch[:, :]
+        lane1 = jax.lax.broadcasted_iota(jnp.int32, (nz - 1, p), 1)
+        ridx1 = jax.lax.broadcasted_iota(jnp.int32, (nz - 1, p), 0) % g
+        # view A: stream shifted right by C lanes; lane (o+1)·C ← f-offset
+        # o ∈ [−1, fpp−2]. Row r's carried lanes (< C) come from row r−1 —
+        # a row-shifted slice of the stored rotation (no sublane rotate,
+        # which is 32-bit-only). Row 0 is left stale: the taps only read
+        # rows ≥ h − g = g ≥ 1.
+        hi_scr[:, :] = lane_roll(vals, c)
+        lowA = lane1 < c
+        ridxA = (ridx1 + 1) % g  # period index of destination row r = 1..nz−1
+        lo_scr[1:, :] = jnp.where(
+            lowA & (ridxA == 0), zero,
+            jnp.where(lowA, hi_scr[0 : nz - 1, :], hi_scr[1:, :]),
+        )
+        # view B: shifted left by C lanes; lane (o−1)·C ← f-offset
+        # o ∈ [1, fpp]. Row r's carried lanes (≥ P−C) come from row r+1;
+        # the last row is left stale (taps read rows ≤ h + g + m − 1).
+        scratch[:, :] = lane_roll(vals, p - c)
+        highB = lane1 >= p - c
+        hi_scr[0 : nz - 1, :] = jnp.where(
+            highB & (ridx1 == g - 1), zero,
+            jnp.where(highB, scratch[1:, :], scratch[0 : nz - 1, :]),
+        )
+        for dt in range(3):
+            delta = (dt - 1) * g
+            for v, src in enumerate((lo_scr, hi_scr)):
+                rows = src[h + delta : h + delta + m, :]
+                j = dt * 2 + v
+                acc = acc + jnp.dot(
+                    rows, w_ref[j * p : (j + 1) * p, :],
+                    preferred_element_type=jnp.float32,
+                )
+    else:
+        # fpp == 1: 9 row-shifted taps (already optimal — the f-window maps
+        # 1:1 onto period-row offsets). F-boundary zero padding: the ±1
+        # period shift crosses a time row exactly at the first/last period —
+        # those taps must contribute zero. Masked copies are materialized
+        # ONCE into scratch buffers (not once per tap — nine live [M, P]
+        # temporaries blow the Mosaic stack).
+        gidx = jax.lax.broadcasted_iota(jnp.int32, (nz, 1), 0) % g
+        lo_scr[:, :] = jnp.where(gidx == g - 1, zero, scratch[:, :])
+        hi_scr[:, :] = jnp.where(gidx == 0, zero, scratch[:, :])
+        for dt in range(3):
+            for dg in range(3):
+                delta = (dt - 1) * g + (dg - 1)
+                # dg=0 reads row r−1 (valid except at each time row's first
+                # period → mask source rows that are a period's LAST row);
+                # dg=2 reads r+1 (mask source rows that are a period's
+                # first).
+                src = (lo_scr, scratch, hi_scr)[dg]
+                rows = src[h + delta : h + delta + m, :]
+                j = dt * 3 + dg
+                acc = acc + jnp.dot(
+                    rows, w_ref[j * p : (j + 1) * p, :],
+                    preferred_element_type=jnp.float32,
+                )
 
     out = acc
     if add_ref is not None:
@@ -222,10 +324,13 @@ def _pick_tile_t(t: int, g: int, p: int, itemsize: int, tile_t=None) -> int:
 
 
 def conv3x3_flat(x, w2, bias_flat=None, *, c: int, tile_t: int | None = None,
-                 pre=None, pre_silu: bool = False, add=None,
+                 residual=None, pre=None, pre_silu: bool = False, add=None,
                  post_silu: bool = False, want_stats: bool = False):
     """Fused flat conv. x: [B, T, F·C]; w2: packed [9·P, P] weights.
 
+    residual: optional [B, T, F·C] tensor summed into the input during the
+         in-kernel assembly (skip connections fused into the conv that
+         consumes them — costs one stream-in, no materialized sum).
     pre: optional (scale, shift) fp32, each [F·C] or [B, F·C] — per-lane
          affine applied to the input (GroupNorm folded to scale/shift),
          before pre_silu.
@@ -266,6 +371,22 @@ def conv3x3_flat(x, w2, bias_flat=None, *, c: int, tile_t: int | None = None,
     ]
     args = [xv, xv, xv, w2]
 
+    has_res = residual is not None
+    if has_res:
+        rv = residual.reshape(bsz, t * g, p).astype(x.dtype)
+        in_specs.extend([
+            pl.BlockSpec((1, tile_t * g, p), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2 * g, p),
+                         lambda b, i: (b, jnp.maximum(i * ht - 1, 0), 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2 * g, p),
+                         lambda b, i: (b, jnp.minimum((i + 1) * ht,
+                                                      t // 2 - 1), 0),
+                         memory_space=pltpu.VMEM),
+        ])
+        args.extend([rv, rv, rv])
+
     if has_pre:
         scale, shift = pre  # [FC] or [B, FC] each (GroupNorm is per-sample)
         scale = jnp.asarray(scale, jnp.float32)
@@ -294,9 +415,9 @@ def conv3x3_flat(x, w2, bias_flat=None, *, c: int, tile_t: int | None = None,
         args.append(add)
 
     kern = functools.partial(
-        _conv_kernel, tile_t=tile_t, g=g, p=p, n_t=n_t, has_pre=has_pre,
-        pre_silu=pre_silu, has_add=has_add, post_silu=post_silu,
-        want_stats=want_stats,
+        _conv_kernel, tile_t=tile_t, g=g, p=p, fpp=p // c, n_t=n_t,
+        has_res=has_res, has_pre=has_pre, pre_silu=pre_silu, has_add=has_add,
+        post_silu=post_silu, want_stats=want_stats,
     )
 
     out_specs = pl.BlockSpec(

@@ -309,12 +309,14 @@ def pack_up_weights(w, dtype=jnp.float32):
     return w2.astype(dtype)
 
 
-def _up_kernel(refs, *, tile_t, r, q, p_s, n_t):
+def _up_kernel(refs, *, tile_t, r, q, p_s, n_t, has_res, want_stats):
     it = iter(refs)
     x_ref, top_ref, bot_ref = next(it), next(it), next(it)
     w_ref = next(it)
     b_ref = next(it)
+    res_ref = next(it) if has_res else None
     out_ref = next(it)
+    stats_ref = next(it) if want_stats else None
     sc = next(it)
 
     i = pl.program_id(1)
@@ -355,20 +357,46 @@ def _up_kernel(refs, *, tile_t, r, q, p_s, n_t):
                     rows, w_ref[j * q : (j + 1) * q, :],
                     preferred_element_type=jnp.float32,
                 )
-        out = (acc + b_ref[0]).astype(out_ref.dtype)
+        out = acc + b_ref[0]
         # interleave the time-parity streams with banded in-VMEM writes
         # (output time row 2m+stream is R contiguous view rows) — no
-        # host-side transpose pass.
+        # host-side transpose pass. The skip-connection residual (the
+        # U-Net's `up(h) + hidden`) fuses into the same banded store:
+        # zero extra HBM traffic beyond streaming the residual in.
         for k in range(tile_t):
-            out_ref[0, (2 * k + stream) * r : (2 * k + stream + 1) * r, :] = (
-                out[k * r : (k + 1) * r, :]
-            )
+            lo, hi = (2 * k + stream) * r, (2 * k + stream + 1) * r
+            chunk = out[k * r : (k + 1) * r, :]
+            if has_res:
+                chunk = chunk + res_ref[0, lo:hi, :].astype(jnp.float32)
+            out_ref[0, lo:hi, :] = chunk.astype(out_ref.dtype)
+
+    if stats_ref is not None:
+        # next GroupNorm's per-lane (sum, sum²) of the (residual-summed)
+        # output, accumulated across the T grid from the just-written block
+        @pl.when(i == 0)
+        def _():
+            stats_ref[0] = jnp.zeros((2, r, p_s), jnp.float32)
+
+        v = out_ref[0].astype(jnp.float32)  # [2m, p_s]
+        gi = jax.lax.broadcasted_iota(jnp.int32, (r, 2 * m), 0)
+        gj = jax.lax.broadcasted_iota(jnp.int32, (r, 2 * m), 1) % r
+        reducer = (gi == gj).astype(jnp.float32)
+        stats_ref[0, 0] = stats_ref[0, 0] + jnp.dot(
+            reducer, v, preferred_element_type=jnp.float32)
+        stats_ref[0, 1] = stats_ref[0, 1] + jnp.dot(
+            reducer, v * v, preferred_element_type=jnp.float32)
 
 
 def conv_up_flat(x, w2, bias, *, c_in: int, c_out: int,
-                 tile_t: int | None = None):
+                 tile_t: int | None = None, residual=None,
+                 want_stats: bool = False):
     """x: [B, T, F·C_in] → [B, 2T, (2F)·C_out] (torch ConvTranspose2d k4 s2
-    p1 semantics). w2: packed [12·Q, P_s]; bias: [C_out] fp32 (or [P_s])."""
+    p1 semantics). w2: packed [12·Q, P_s]; bias: [C_out] fp32 (or [P_s]).
+
+    residual: optional [B, 2T, (2F)·C_out] skip tensor added to the output
+    inside the kernel (the U-Net up-path `up(h) + hidden` fused for free).
+    want_stats: also return per-lane (sum, sum²) of the fp32 (summed)
+    output — the next GroupNorm's statistics with no extra HBM pass."""
     bsz, t, fc_in = x.shape
     q, p_s = up_plan(c_in, c_out)
     if fc_in % q:
@@ -406,16 +434,39 @@ def conv_up_flat(x, w2, bias, *, c_in: int, c_out: int,
         pl.BlockSpec(memory_space=pltpu.VMEM),
         pl.BlockSpec((1, p_s), lambda b, i: (0, 0), memory_space=pltpu.VMEM),
     ]
+    args = [xv, xv, xv, w2, bias]
+    if residual is not None:
+        in_specs.append(
+            pl.BlockSpec((1, 2 * tile_t * r, p_s), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM)
+        )
+        args.append(residual.reshape(bsz, 2 * t * r, p_s))
     kern = functools.partial(_up_kernel, tile_t=tile_t, r=r, q=q, p_s=p_s,
-                             n_t=n_t)
-    out = pl.pallas_call(
+                             n_t=n_t, has_res=residual is not None,
+                             want_stats=want_stats)
+    out_specs = pl.BlockSpec((1, 2 * tile_t * r, p_s),
+                             lambda b, i: (b, i, 0),
+                             memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((bsz, 2 * t * r, p_s), x.dtype)
+    if want_stats:
+        out_specs = (
+            out_specs,
+            pl.BlockSpec((1, 2, r, p_s), lambda b, i: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        )
+        out_shape = (out_shape,
+                     jax.ShapeDtypeStruct((bsz, 2, r, p_s), jnp.float32))
+    result = pl.pallas_call(
         lambda *refs: kern(refs),
         grid=(bsz, n_t),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, 2 * tile_t * r, p_s),
-                               lambda b, i: (b, i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((bsz, 2 * t * r, p_s), x.dtype),
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[pltpu.VMEM(((tile_t + 4) * r, q), x.dtype)],
-    )(xv, xv, xv, w2, bias)
-    return out.reshape(bsz, 2 * t, fc_out)
+    )(*args)
+    if want_stats:
+        out, stats = result
+        return (out.reshape(bsz, 2 * t, fc_out),
+                stats[:, 0].reshape(bsz, fc_out),
+                stats[:, 1].reshape(bsz, fc_out))
+    return result.reshape(bsz, 2 * t, fc_out)

@@ -194,7 +194,6 @@ def test_conv_flat_vjp_matches_xla(c, f):
     """Custom-VJP flat conv: value AND grads (x, w, add) match jax.grad of
     the XLA conv."""
     from ddim_audio_tpu.ops.flat_grad import conv3x3_flat_t
-    from ddim_audio_tpu.ops.pallas.conv_flat import pack_conv_weights
 
     rng = np.random.default_rng(c)
     B, T = 2, 16
@@ -208,8 +207,7 @@ def test_conv_flat_vjp_matches_xla(c, f):
         return jnp.sum(out * jnp.asarray(cot))
 
     def loss_flat(xf, w, b):
-        w2 = pack_conv_weights(w)
-        out = conv3x3_flat_t(xf, w2, jnp.tile(b, f), c=c)
+        out = conv3x3_flat_t(xf, w, jnp.tile(b, f), c=c)
         return jnp.sum(out * jnp.asarray(cot.reshape(B, T, f * c)))
 
     ref_v, ref_g = jax.value_and_grad(loss_xla, argnums=(0, 1, 2))(
@@ -403,3 +401,65 @@ def test_full_model_pallas_path_matches_xla(tiny_cfg):
     with pltpu.force_tpu_interpret_mode():
         out = apply_model(params, x, t, cfg_p)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+
+
+def test_up_conv_flat_residual_stats():
+    """conv_up_flat residual=/want_stats=: the fused `up(h) + skip` equals
+    XLA's transposed-conv + add, and the emitted per-lane (sum, sum²) are
+    the GroupNorm statistics of the summed output."""
+    from ddim_audio_tpu.models.layers import conv_transpose_apply
+    from ddim_audio_tpu.ops.pallas.conv_strided import (
+        conv_up_flat,
+        pack_up_weights,
+    )
+
+    c_in, c_out, f_in = 64, 32, 8
+    rng = np.random.default_rng(7)
+    B, T = 2, 8
+    x = rng.standard_normal((B, T, f_in, c_in)).astype(np.float32)
+    w = (rng.standard_normal((4, 4, c_in, c_out)) * 0.1).astype(np.float32)
+    bias = rng.standard_normal(c_out).astype(np.float32)
+    skip = rng.standard_normal(
+        (B, 2 * T, 2 * f_in * c_out)).astype(np.float32)
+    ref = np.asarray(
+        conv_transpose_apply({"w": jnp.asarray(w), "b": jnp.asarray(bias)},
+                             jnp.asarray(x), stride=2, padding=1)
+    ).reshape(B, 2 * T, 2 * f_in * c_out) + skip
+    with pltpu.force_tpu_interpret_mode():
+        out, s1, s2 = conv_up_flat(
+            jnp.asarray(x.reshape(B, T, f_in * c_in)),
+            pack_up_weights(jnp.asarray(w)),
+            bias, c_in=c_in, c_out=c_out, tile_t=4,
+            residual=jnp.asarray(skip), want_stats=True,
+        )
+    np.testing.assert_allclose(np.asarray(out), ref, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(s1), ref.sum(axis=1),
+                               rtol=1e-5, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(s2), (ref * ref).sum(axis=1),
+                               rtol=1e-5, atol=1e-3)
+
+
+def test_conv_flat_residual():
+    """conv3x3_flat residual=: conv(x + skip) fused in the kernel's
+    assembly equals XLA conv of the materialized sum."""
+    from ddim_audio_tpu.ops.pallas.conv_flat import (
+        conv3x3_flat,
+        pack_conv_weights,
+    )
+
+    c, f = 32, 8
+    rng = np.random.default_rng(9)
+    B, T = 2, 16
+    x = rng.standard_normal((B, T, f, c)).astype(np.float32)
+    skip = rng.standard_normal((B, T, f, c)).astype(np.float32)
+    w = (rng.standard_normal((3, 3, c, c)) * 0.1).astype(np.float32)
+    ref = np.asarray(conv_apply(
+        {"w": jnp.asarray(w), "b": jnp.zeros((c,), jnp.float32)},
+        jnp.asarray(x + skip), padding=1)).reshape(B, T, f * c)
+    with pltpu.force_tpu_interpret_mode():
+        out = conv3x3_flat(
+            jnp.asarray(x.reshape(B, T, f * c)),
+            pack_conv_weights(jnp.asarray(w)),
+            c=c, residual=jnp.asarray(skip.reshape(B, T, f * c)),
+        )
+    np.testing.assert_allclose(np.asarray(out), ref, atol=1e-5)
