@@ -73,21 +73,25 @@ def pack_conv_weights(w, dtype=jnp.float32) -> jax.Array:
     fpp = P/C == 1 (C ∈ {128, 256}): the 9-tap format of `_pack9` —
     optimal, since the 3×3 f-window maps 1:1 onto 3 period-row offsets.
 
-    fpp ≥ 2: a [6·P, P] 2-view format. The kernel materializes two
-    lane-rotated copies of the input stream — view A shifted right by C
-    lanes (lane (o+1)·C holds f-offset o ∈ [−1, fpp−2]) and view B shifted
-    left (lane (o−1)·C holds o ∈ [1, fpp]) — so the 3 period-row offsets
-    per time tap collapse into 2 full-density matmuls:
+    fpp ≥ 2 and 32-bit storage: a [6·P, P] 2-view format. The kernel
+    materializes two lane-rotated copies of the input stream — view A
+    shifted right by C lanes (lane (o+1)·C holds f-offset o ∈ [−1, fpp−2])
+    and view B shifted left (lane (o−1)·C holds o ∈ [1, fpp]) — so the 3
+    period-row offsets per time tap collapse into 2 full-density matmuls:
         block j = dt·2 + v, v = A if o ≤ fpp−2 else B
         W2[j·P + rowA/B(o)·C + ci, fo·C + co] = w[dt, df, ci, co]
     with o = fo + df − 1, rowA = o+1, rowB = o−1. 6 MXU passes instead of
-    9 — a 1.5× matmul-work cut at every width the lane padding taxed.
-    F-boundary zeros are applied by the kernel's view masks."""
+    9 — matmul-work headroom at every width the lane padding taxed.
+
+    16-bit storage uses the 9-tap format: Mosaic's lane rotate is
+    32-bit-only, and the bitcast-roll workaround costs more VPU time than
+    the 3 extra (memory-hidden) bf16 MXU passes save (measured: s0 conv
+    1.78 ms rolled vs 1.47 ms 9-tap at [8192, 8192] bf16)."""
     kh, kw, c, co = w.shape
     assert kh == 3 and kw == 3 and c == co
     p = flat_period(c)
     fpp = p // c
-    if fpp == 1:
+    if fpp == 1 or jnp.dtype(dtype).itemsize != 4:
         return _pack9(w).astype(dtype)
     # jnp (traceable) so packing can run inside jit on live params; a
     # handful of static-index block adds, hoisted out of sampler scan loops.
@@ -133,8 +137,8 @@ def _pack9(w) -> jax.Array:
     return w2
 
 
-def _conv_kernel(refs, *, tile_t, g, p, fpp, n_t, has_res, has_pre, pre_silu,
-                 has_add, post_silu, want_stats):
+def _conv_kernel(refs, *, tile_t, g, p, fpp, use6, n_t, has_res, has_pre,
+                 pre_silu, has_add, post_silu, want_stats):
     it = iter(refs)
     x_ref = next(it)
     top_ref = next(it)
@@ -162,31 +166,32 @@ def _conv_kernel(refs, *, tile_t, g, p, fpp, n_t, has_res, has_pre, pre_silu,
         gj = jax.lax.broadcasted_iota(jnp.int32, (rows, g), 1)
         return (gi == gj).astype(jnp.float32)
 
-    # Assemble the halo-extended input [h + m + h, p]: raw values first
-    # (with the optional skip-connection residual summed in — the conv
-    # reads the sum, so the add costs only the residual's stream-in), then
-    # one fused prologue pass, then zero the t-boundary halos (the
-    # reference pads AFTER norm/SiLU, so pad rows are zero post-prologue).
-    if has_res:
-        scratch[0:h, :] = top_ref[0] + rt_ref[0]
-        scratch[h : h + m, :] = x_ref[0] + rm_ref[0]
-        scratch[h + m :, :] = bot_ref[0] + rb_ref[0]
-    else:
-        scratch[0:h, :] = top_ref[0]
-        scratch[h : h + m, :] = x_ref[0]
-        scratch[h + m :, :] = bot_ref[0]
-
-    if has_pre or pre_silu:
-        vals = scratch[:, :].astype(jnp.float32)
+    # Assemble the halo-extended input [h + m + h, p]: the optional
+    # skip-connection residual sum AND the prologue (GroupNorm affine +
+    # SiLU) fuse into the piece-wise stores — no separate full-scratch
+    # read-modify-write pass. (Each piece starts at a multiple of g, so the
+    # piece-local expander is period-aligned.) T-boundary halos are zeroed
+    # after (the reference pads AFTER norm/SiLU, so pad rows are zero
+    # post-prologue).
+    def prep(v, res_v):
+        if res_v is not None:
+            v = v + res_v
+        if not (has_pre or pre_silu):
+            return v
+        x32 = v.astype(jnp.float32)
         if has_pre:
-            exp_z = expander(h + m + h)
-            vals = vals * jnp.dot(exp_z, pre_ref[0, 0],
-                                  preferred_element_type=jnp.float32)
-            vals = vals + jnp.dot(exp_z, pre_ref[0, 1],
-                                  preferred_element_type=jnp.float32)
+            exp_z = expander(v.shape[0])
+            x32 = x32 * jnp.dot(exp_z, pre_ref[0, 0],
+                                preferred_element_type=jnp.float32)
+            x32 = x32 + jnp.dot(exp_z, pre_ref[0, 1],
+                                preferred_element_type=jnp.float32)
         if pre_silu:
-            vals = jax.nn.silu(vals)
-        scratch[:, :] = vals.astype(scratch.dtype)
+            x32 = jax.nn.silu(x32)
+        return x32.astype(scratch.dtype)
+
+    scratch[0:h, :] = prep(top_ref[0], rt_ref[0] if has_res else None)
+    scratch[h : h + m, :] = prep(x_ref[0], rm_ref[0] if has_res else None)
+    scratch[h + m :, :] = prep(bot_ref[0], rb_ref[0] if has_res else None)
 
     @pl.when(i == 0)
     def _():
@@ -199,7 +204,7 @@ def _conv_kernel(refs, *, tile_t, g, p, fpp, n_t, has_res, has_pre, pre_silu,
     nz = m + 2 * h
     zero = jnp.zeros((), scratch.dtype)
     acc = jnp.zeros((m, p), jnp.float32)
-    if fpp >= 2:
+    if use6:
         # 2-view scheme (see pack_conv_weights): build two lane-rotated
         # copies of the stream so each time tap needs 2 full-density
         # matmuls instead of 3 sparse ones. Cross-period-row lane carry is
@@ -209,15 +214,7 @@ def _conv_kernel(refs, *, tile_t, g, p, fpp, n_t, has_res, has_pre, pre_silu,
         c = p // fpp
 
         def lane_roll(v, shift):
-            # Mosaic lane rotate is 32-bit-only; 16-bit dtypes go through a
-            # sublane-packing bitcast ([nz, p] bf16 → [nz/2, p] i32 pairs
-            # adjacent rows per lane, so an i32 lane roll rotates both
-            # packed rows by the same lane count).
-            if v.dtype.itemsize == 4:
-                return pltpu.roll(v, shift=shift, axis=1)
-            assert v.dtype.itemsize == 2 and v.shape[0] % 2 == 0
-            vi = pltpu.bitcast(v, jnp.int32)
-            return pltpu.bitcast(pltpu.roll(vi, shift=shift, axis=1), v.dtype)
+            return pltpu.roll(v, shift=shift, axis=1)
 
         vals = scratch[:, :]
         lane1 = jax.lax.broadcasted_iota(jnp.int32, (nz - 1, p), 1)
@@ -345,6 +342,11 @@ def conv3x3_flat(x, w2, bias_flat=None, *, c: int, tile_t: int | None = None,
     p = flat_period(c)
     if fc % p:
         raise ValueError(f"F·C={fc} is not a multiple of the period {p} (C={c})")
+    n_taps = 6 if (p // c >= 2 and x.dtype.itemsize == 4) else 9
+    if w2.shape[0] != n_taps * p:
+        raise ValueError(
+            f"packed weight rows {w2.shape[0]} != {n_taps}·P — pack with the"
+            f" same dtype as x (pack_conv_weights(w, {x.dtype}))")
     g = fc // p
     tile_t = _pick_tile_t(t, g, p, x.dtype.itemsize, tile_t)
     if t % tile_t or tile_t % 2:
@@ -415,7 +417,8 @@ def conv3x3_flat(x, w2, bias_flat=None, *, c: int, tile_t: int | None = None,
         args.append(add)
 
     kern = functools.partial(
-        _conv_kernel, tile_t=tile_t, g=g, p=p, fpp=p // c, n_t=n_t,
+        _conv_kernel, tile_t=tile_t, g=g, p=p, fpp=p // c,
+        use6=(p // c >= 2 and x.dtype.itemsize == 4), n_t=n_t,
         has_res=has_res, has_pre=has_pre, pre_silu=pre_silu, has_add=has_add,
         post_silu=post_silu, want_stats=want_stats,
     )

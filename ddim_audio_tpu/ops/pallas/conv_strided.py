@@ -340,6 +340,9 @@ def _up_kernel(refs, *, tile_t, r, q, p_s, n_t, has_res, want_stats):
     last_mask = gidx == r - 1
 
     tshift = {0: (0, -r), 1: (r, 0)}  # stream → (Δ_t of local_dt 0, 1)
+    if stats_ref is not None:
+        s1_acc = jnp.zeros((r, p_s), jnp.float32)
+        s2_acc = jnp.zeros((r, p_s), jnp.float32)
     for stream in (0, 1):
         acc = jnp.zeros((m, p_s), jnp.float32)
         for local_dt in (0, 1):
@@ -362,29 +365,27 @@ def _up_kernel(refs, *, tile_t, r, q, p_s, n_t, has_res, want_stats):
         # (output time row 2m+stream is R contiguous view rows) — no
         # host-side transpose pass. The skip-connection residual (the
         # U-Net's `up(h) + hidden`) fuses into the same banded store:
-        # zero extra HBM traffic beyond streaming the residual in.
+        # zero extra HBM traffic beyond streaming the residual in. The
+        # next GroupNorm's (sum, sum²) accumulate per chunk in registers —
+        # each chunk's rows ARE one period set [r, p_s], so no reducer
+        # matmul and no output read-back.
         for k in range(tile_t):
             lo, hi = (2 * k + stream) * r, (2 * k + stream + 1) * r
             chunk = out[k * r : (k + 1) * r, :]
             if has_res:
                 chunk = chunk + res_ref[0, lo:hi, :].astype(jnp.float32)
+            if stats_ref is not None:
+                s1_acc = s1_acc + chunk
+                s2_acc = s2_acc + chunk * chunk
             out_ref[0, lo:hi, :] = chunk.astype(out_ref.dtype)
 
     if stats_ref is not None:
-        # next GroupNorm's per-lane (sum, sum²) of the (residual-summed)
-        # output, accumulated across the T grid from the just-written block
         @pl.when(i == 0)
         def _():
             stats_ref[0] = jnp.zeros((2, r, p_s), jnp.float32)
 
-        v = out_ref[0].astype(jnp.float32)  # [2m, p_s]
-        gi = jax.lax.broadcasted_iota(jnp.int32, (r, 2 * m), 0)
-        gj = jax.lax.broadcasted_iota(jnp.int32, (r, 2 * m), 1) % r
-        reducer = (gi == gj).astype(jnp.float32)
-        stats_ref[0, 0] = stats_ref[0, 0] + jnp.dot(
-            reducer, v, preferred_element_type=jnp.float32)
-        stats_ref[0, 1] = stats_ref[0, 1] + jnp.dot(
-            reducer, v * v, preferred_element_type=jnp.float32)
+        stats_ref[0, 0] = stats_ref[0, 0] + s1_acc
+        stats_ref[0, 1] = stats_ref[0, 1] + s2_acc
 
 
 def conv_up_flat(x, w2, bias, *, c_in: int, c_out: int,
