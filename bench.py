@@ -53,6 +53,15 @@ def main():
 
     config = load_config("configs/audio.yml")
     cfg = ModelConfig.from_config(config)
+    # production inference dtype (sampling.dtype, bf16 by default — the
+    # sampler's update math stays fp32; 54 dB SNR vs fp32 final samples)
+    sdtype = getattr(config.sampling, "dtype", None)
+    if sdtype:
+        import dataclasses
+
+        from ddim_audio_tpu.config import resolve_dtype
+
+        cfg = dataclasses.replace(cfg, dtype=resolve_dtype(sdtype))
     sched = make_schedule(
         config.diffusion.beta_schedule,
         config.diffusion.beta_start,

@@ -222,21 +222,20 @@ def apply_model(params, x, t, cfg: ModelConfig, *, train: bool = False, rng=None
     if use_flat and _supports_full_flat(cfg):
         return _apply_model_flat(params, x, temb_chunks, cfg)
 
-    # Training on TPU: resblocks run on the flat Pallas kernels through
-    # their custom VJP (ops/flat_grad.py) — forward AND backward convs are
-    # unpadded; stage transitions stay XLA here (the inference path runs
-    # them flat via _apply_model_flat).
+    # Training on TPU: resblocks, head/tail, and the strided stage
+    # transitions all run on the flat Pallas kernels through their custom
+    # VJPs (ops/flat_grad.py) — forward AND backward convs are unpadded.
     use_flat_train = (
         train
         and (cfg.conv_impl == "pallas"
              or (cfg.conv_impl == "auto" and jax.default_backend() == "tpu"))
     )
+    hw_backend = jax.default_backend() == "tpu"
+    from ..ops.pallas.conv_flat import supports_flat
 
     def run_blocks(stage, krn, h):
-        from ..ops.pallas.conv_flat import supports_flat
-
         b_, t_, f_, c_ = h.shape
-        hw = jax.default_backend() == "tpu"
+        hw = hw_backend
         if use_flat and krn == 3 and supports_flat(c_, f_, hw=hw):
             from ..ops.flat_resblock import resblock_flat
 
@@ -264,13 +263,75 @@ def apply_model(params, x, t, cfg: ModelConfig, *, train: bool = False, rng=None
             h = block_apply[krn](block, h, next(temb_iter))
         return h
 
+    # Trainable flat head/tail and stage transitions: in the flat-train
+    # regime the XLA NHWC convs at these sites pay up to a 9.1× padded-
+    # layout expansion (C = 2 pads 64×) — route them through the custom-VJP
+    # flat kernels instead (ops/flat_grad).
+    def _flat_head(ph, x):
+        b_, t_, f_, cin_ = x.shape
+        c0 = cfg.ch[0]
+        if not (use_flat_train and supports_flat(c0, f_, hw=hw_backend)):
+            return conv_apply(ph, x, padding=1)
+        from ..ops.flat_grad import conv3x3_flat_t
+
+        w_pad = jnp.zeros((3, 3, c0, c0), jnp.float32).at[:, :, :cin_, :].set(
+            ph["w"].astype(jnp.float32))
+        xp = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, c0 - cin_)))
+        hf = conv3x3_flat_t(
+            xp.reshape(b_, t_, f_ * c0), w_pad,
+            jnp.tile(ph["b"].astype(jnp.float32), f_), c=c0)
+        return hf.reshape(b_, t_, f_, c0)
+
+    def _flat_tail(pt, x):
+        b_, t_, f_, c0 = x.shape
+        cout_ = pt["w"].shape[3]
+        if not (use_flat_train and supports_flat(c0, f_, hw=hw_backend)):
+            return conv_apply(pt, x, padding=1)
+        from ..ops.flat_grad import conv3x3_flat_t
+
+        w_pad = jnp.zeros((3, 3, c0, c0), jnp.float32).at[:, :, :, :cout_].set(
+            pt["w"].astype(jnp.float32))
+        b_pad = jnp.zeros((c0,), jnp.float32).at[:cout_].set(
+            pt["b"].astype(jnp.float32))
+        of = conv3x3_flat_t(
+            x.reshape(b_, t_, f_ * c0), w_pad, jnp.tile(b_pad, f_), c=c0)
+        return of.reshape(b_, t_, f_, c0)[..., :cout_]
+
+    def _down_conv(pd, h):
+        b_, t_, f_, ci_ = h.shape
+        co_ = pd["w"].shape[3]
+        from ..ops.pallas.conv_strided import supports_flat_down
+
+        if not (use_flat_train
+                and supports_flat_down(ci_, f_, co_, hw=hw_backend)):
+            return conv_apply(pd, h, stride=2, padding=1)
+        from ..ops.flat_grad import conv_down_flat_t
+
+        hf = conv_down_flat_t(
+            h.reshape(b_, t_, f_ * ci_), pd["w"], pd["b"], c_in=ci_, c_out=co_)
+        return hf.reshape(b_, t_ // 2, f_ // 2, co_)
+
+    def _up_conv(pu, h):
+        b_, t_, f_, ci_ = h.shape
+        co_ = pu["w"].shape[3]
+        from ..ops.pallas.conv_strided import supports_flat_up
+
+        if not (use_flat_train
+                and supports_flat_up(ci_, f_, co_, hw=hw_backend)):
+            return conv_transpose_apply(pu, h, stride=2, padding=1)
+        from ..ops.flat_grad import conv_up_flat_t
+
+        hf = conv_up_flat_t(
+            h.reshape(b_, t_, f_ * ci_), pu["w"], pu["b"], c_in=ci_, c_out=co_)
+        return hf.reshape(b_, 2 * t_, 2 * f_, co_)
+
     # Down path; skip state captured after every entry (7 tensors).
     hidden = []
-    h = conv_apply(params["down_modules"]["head"], x, padding=1)
+    h = _flat_head(params["down_modules"]["head"], x)
     hidden.append(h)
     for stage, krn in zip(params["down_modules"]["stages"], cfg.krn):
         if "down" in stage:
-            h = conv_apply(stage["down"], h, stride=2, padding=1)
+            h = _down_conv(stage["down"], h)
         h = run_blocks(stage, krn, h)
         hidden.append(h)
 
@@ -295,9 +356,9 @@ def apply_model(params, x, t, cfg: ModelConfig, *, train: bool = False, rng=None
         h = h + hidden.pop()
         h = run_blocks(stage, krn, h)
         if "up" in stage:
-            h = conv_transpose_apply(stage["up"], h, stride=2, padding=1)
+            h = _up_conv(stage["up"], h)
     h = h + hidden.pop()
-    h = conv_apply(params["up_modules"]["tail"], h, padding=1)
+    h = _flat_tail(params["up_modules"]["tail"], h)
 
     return jnp.transpose(h, (0, 3, 1, 2)).astype(jnp.float32)  # NHWC → [B,C,T,F]
 

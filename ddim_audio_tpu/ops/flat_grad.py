@@ -14,13 +14,17 @@ The backward of the stride-1 flat conv is two more flat ops:
   grid into a 9-format [9P, P] gradient; unpacking to [3, 3, C, C] happens
   for free through the VJP of `_pack9` (scatter-add → gather-sum).
 
-GroupNorm/SiLU stay XLA ops on the FLAT [B, T, F·C] arrays (reductions read
-through bitcast reshapes; normalize is a per-lane affine), so the training
-resblock never materializes a lane-padded NHWC tensor.
+GroupNorm/SiLU stay XLA ops on the FLAT [B, T, F·C] arrays with an ANALYTIC
+GroupNorm VJP (`_gn_op`) — strictly 2-D arithmetic, since 5-D group-reshape
+views force XLA into padded layouts (measured 9.1× expansion at train
+scale). The strided stage transitions and the channel-padded head/tail
+convs also train on flat kernels via `conv_down_flat_t` / `conv_up_flat_t`
+/ `conv3x3_flat_t`, so the training step never materializes a lane-padded
+NHWC tensor anywhere in the conv stack.
 
-Reference behavior covered: training the stride-1 convs of Residual_Block
-(reference models/diffusion.py:28-40) via functions/losses.py's
-noise_estimation_loss backward.
+Reference behavior covered: training Residual_Block's stride-1 convs and
+Downsample/Upsample (reference models/diffusion.py:28-78) via
+functions/losses.py's noise_estimation_loss backward.
 """
 
 from __future__ import annotations
@@ -178,28 +182,102 @@ def conv3x3_flat_t(x, w, add, *, c: int):
     return _conv_op(c)(x, w, add)
 
 
-def gn_flat(pnorm, x, *, f: int, c: int):
-    """Differentiable GroupNorm over flat [B, T, F·C] (two-pass mean/var —
-    the reductions read through bitcast reshapes; no NHWC materialization).
-    Matches torch.nn.GroupNorm(8, C, eps=1e-6)."""
+def _gn_fwd_parts(x, gamma, beta, f, c):
+    # Strictly 2-D/[B, FC] arithmetic: a 5-D (b, t, f, G, cpg) reshape view
+    # forces XLA into tiny-minor-dim padded layouts (measured 9.1× memory
+    # expansion and a 4 GB temp at train scale) — all full-size work stays
+    # on the [B, T, F·C] layout; group folds happen on [B, FC] partials.
     b, t, fc = x.shape
     cpg = c // GROUPS
-    xg = x.reshape(b, t, f, GROUPS, cpg).astype(jnp.float32)
-    mean = jnp.mean(xg, axis=(1, 2, 4))  # [B, G]
-    var = jnp.mean(
-        jnp.square(xg - mean[:, None, None, :, None]), axis=(1, 2, 4)
-    )
-    rstd = jax.lax.rsqrt(var + EPS)
-    gamma = pnorm["g"].astype(jnp.float32)
-    beta = pnorm.get("b")
+    n = t * f * cpg
+    xf = x.astype(jnp.float32)
+    s1 = jnp.sum(xf, axis=1)  # [B, FC]
+    s2 = jnp.einsum("btk,btk->bk", xf, xf)
+    s1g = s1.reshape(b, f, GROUPS, cpg).sum(axis=(1, 3))  # [B, G] (tiny)
+    s2g = s2.reshape(b, f, GROUPS, cpg).sum(axis=(1, 3))
+    mean = s1g / n
+    var = s2g / n - jnp.square(mean)
+    rstd = jax.lax.rsqrt(jnp.maximum(var, 0.0) + EPS)
     scale_c = jnp.repeat(rstd, cpg, axis=1) * gamma[None, :]  # [B, C]
     shift_c = -jnp.repeat(mean * rstd, cpg, axis=1) * gamma[None, :]
     if beta is not None:
-        shift_c = shift_c + beta.astype(jnp.float32)[None, :]
+        shift_c = shift_c + beta[None, :]
     scale = jnp.tile(scale_c, (1, f))
     shift = jnp.tile(shift_c, (1, f))
-    out = x.astype(jnp.float32) * scale[:, None, :] + shift[:, None, :]
-    return out.astype(x.dtype)
+    out = xf * scale[:, None, :] + shift[:, None, :]
+    return out.astype(x.dtype), mean, rstd
+
+
+@functools.cache
+def _gn_op(f: int, c: int, has_beta: bool):
+    """Differentiable GroupNorm over flat [B, T, F·C] with an ANALYTIC
+    backward (autodiff through the two-pass mean/var emits ~6 full-array
+    passes; the closed form is 2: one fused (Σdy, Σdy·x) reduction + the
+    dx write as a per-lane affine of (dy, x)).
+
+    dx = rstd·(γ·dy − S₁/N − x̂·S₂/N) per group, with S₁ = Σ γ·dy,
+    S₂ = Σ γ·dy·x̂; dγ = Σ_{b,t,f} dy·x̂, dβ = Σ dy — all derived from the
+    per-lane partials Σ_t dy and Σ_t dy·x."""
+
+    @jax.custom_vjp
+    def op(gamma, beta, x):
+        return _gn_fwd_parts(x, gamma, beta, f, c)[0]
+
+    def fwd(gamma, beta, x):
+        out, mean, rstd = _gn_fwd_parts(x, gamma, beta, f, c)
+        return out, (x, gamma, mean, rstd)
+
+    def bwd(res, dy):
+        x, gamma, mean, rstd = res  # mean/rstd [B, G]
+        b, t, fc = x.shape
+        cpg = c // GROUPS
+        n = t * f * cpg
+        xf = x.astype(jnp.float32)
+        dyf = dy.astype(jnp.float32)
+        # one fused pass over (dy, x): per-lane partials over T
+        sd = jnp.sum(dyf, axis=1)  # [B, FC]
+        sdx = jnp.einsum("btk,btk->bk", dyf, xf)
+        # group folds on [B, FC] partials (tiny)
+        gamma_lane = jnp.tile(gamma, f)[None]  # [1, FC]
+
+        def fold(a):
+            return (a * gamma_lane).reshape(b, f, GROUPS, cpg).sum(axis=(1, 3))
+
+        s1 = fold(sd)  # Σ γ·dy         [B, G]
+        s2 = rstd * (fold(sdx) - mean * s1)  # Σ γ·dy·x̂
+        # dx = A·dy + B·x + C with per-channel coefficients
+        rstd_c = jnp.repeat(rstd, cpg, axis=1)  # [B, C]
+        mean_c = jnp.repeat(mean, cpg, axis=1)
+        s1_c = jnp.repeat(s1, cpg, axis=1)
+        s2_c = jnp.repeat(s2, cpg, axis=1)
+        a_c = rstd_c * gamma[None, :]
+        b_c = -jnp.square(rstd_c) * s2_c / n
+        c_c = (-rstd_c * s1_c + mean_c * jnp.square(rstd_c) * s2_c) / n
+        a_l = jnp.tile(a_c, (1, f))[:, None, :]
+        b_l = jnp.tile(b_c, (1, f))[:, None, :]
+        c_l = jnp.tile(c_c, (1, f))[:, None, :]
+        dx = dyf * a_l + xf * b_l + c_l
+        # dgamma/dbeta from the same per-lane partials
+        rstd_l = jnp.tile(rstd_c, (1, f))
+        mean_l = jnp.tile(mean_c, (1, f))
+        dg_lane = rstd_l * (sdx - mean_l * sd)  # [B, FC] = Σ_t dy·x̂
+        dgamma = dg_lane.reshape(b, f, c).sum(axis=(0, 1))
+        dbeta = sd.reshape(b, f, c).sum(axis=(0, 1)) if has_beta else None
+        return (dgamma.astype(gamma.dtype), dbeta, dx.astype(x.dtype))
+
+    op.defvjp(fwd, bwd)
+    return op
+
+
+def gn_flat(pnorm, x, *, f: int, c: int):
+    """Differentiable GroupNorm over flat [B, T, F·C] (reductions read
+    through bitcast reshapes; no NHWC materialization; analytic backward).
+    Matches torch.nn.GroupNorm(8, C, eps=1e-6)."""
+    gamma = pnorm["g"].astype(jnp.float32)
+    beta = pnorm.get("b")
+    if beta is not None:
+        beta = beta.astype(jnp.float32)
+    return _gn_op(f, c, beta is not None)(gamma, beta, x)
 
 
 def resblock_flat_train(p, x_flat, temb, *, f: int, c: int):
@@ -219,3 +297,315 @@ def resblock_flat_train(p, x_flat, temb, *, f: int, c: int):
     h = jax.nn.silu(h)
     h = gn_flat(p["norm3"], h, f=f, c=c)
     return x_flat + h
+
+
+# ------------------------------------------------- strided transitions ----
+# Custom VJPs for the k4 s2 down-conv and transposed up-conv flat kernels
+# (reference models/diffusion.py:59-78 Downsample/Upsample in training).
+# dx of each is the OTHER kernel with the spatially-flipped, I/O-transposed
+# HWIO weight (verified exact vs jax.vjp of the XLA convs); dW is a mirror
+# kernel accumulating per-tap [S, P] / [Q, P_s] contractions into the
+# packed-weight layout, unpacked to HWIO through the packer's VJP.
+
+def _flip_swap(w):
+    return jnp.flip(w, axis=(0, 1)).transpose(0, 1, 3, 2)
+
+
+def _down_dw_kernel(refs, *, tile_t, r, s, p, n_t):
+    from jax.experimental.pallas import tpu as _pltpu  # noqa: F401
+
+    it = iter(refs)
+    x_ref, top_ref, bot_ref = next(it), next(it), next(it)
+    g_ref = next(it)
+    out_ref = next(it)
+    se = next(it)
+    so = next(it)
+
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    m = tile_t * r
+    h = 2 * r
+
+    for k in range(tile_t):
+        se[h + k * r : h + (k + 1) * r, :] = x_ref[0, 2 * k * r : (2 * k + 1) * r, :]
+        so[h + k * r : h + (k + 1) * r, :] = x_ref[0, (2 * k + 1) * r : (2 * k + 2) * r, :]
+    se[h - r : h, :] = top_ref[0, 0:r, :]
+    so[h - r : h, :] = top_ref[0, r : 2 * r, :]
+    se[h + m : h + m + r, :] = bot_ref[0, 0:r, :]
+    so[h + m : h + m + r, :] = bot_ref[0, r : 2 * r, :]
+
+    @pl.when(i == 0)
+    def _():
+        se[0:h, :] = jnp.zeros((h, s), se.dtype)
+        so[0:h, :] = jnp.zeros((h, s), so.dtype)
+
+    @pl.when(i == n_t - 1)
+    def _():
+        se[h + m :, :] = jnp.zeros((h, s), se.dtype)
+        so[h + m :, :] = jnp.zeros((h, s), so.dtype)
+
+    @pl.when(jnp.logical_and(b == 0, i == 0))
+    def _():
+        out_ref[:, :] = jnp.zeros((12 * s, p), jnp.float32)
+
+    gidx = jax.lax.broadcasted_iota(jnp.int32, (m, 1), 0) % r
+    first_mask = gidx == 0
+    last_mask = gidx == r - 1
+    g = g_ref[0]
+    stream = {0: so, 1: se, 2: so, 3: se}
+    tshift = {0: -r, 1: 0, 2: 0, 3: r}
+    for dt in range(4):
+        sc = stream[dt]
+        for dq in (-1, 0, 1):
+            delta = tshift[dt] + dq
+            rows = sc[h + delta : h + delta + m, :]
+            if dq == -1:
+                rows = jnp.where(first_mask, jnp.zeros((), rows.dtype), rows)
+            elif dq == 1:
+                rows = jnp.where(last_mask, jnp.zeros((), rows.dtype), rows)
+            j = dt * 3 + dq + 1
+            out_ref[j * s : (j + 1) * s, :] = out_ref[
+                j * s : (j + 1) * s, :
+            ] + jax.lax.dot_general(
+                rows, g, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+
+def conv_down_dw_flat(x, gout, *, c_in: int, c_out: int,
+                      tile_t: int | None = None):
+    """Packed [12·S, P] weight gradient of conv_down_flat.
+    x: [B, T, F·C_in]; gout: [B, T/2, (F/2)·C_out]."""
+    from .pallas.conv_strided import down_plan
+
+    bsz, t, fc_in = x.shape
+    p, s = down_plan(c_in, c_out)
+    r = fc_in // s
+    t_out = t // 2
+    if tile_t is None:
+        tile_t = 2
+        while (tile_t * 2 <= t_out and t_out % (tile_t * 2) == 0
+               and (tile_t * 2) * r <= 2048
+               and (tile_t * 2) * r * s * x.dtype.itemsize <= (1 << 18)):
+            tile_t *= 2
+    while t_out % tile_t and tile_t > 1:
+        tile_t //= 2
+    n_t = t_out // tile_t
+
+    xv = x.reshape(bsz, t * r, s)
+    gv = gout.reshape(bsz, t_out * r, p)
+    kern = functools.partial(_down_dw_kernel, tile_t=tile_t, r=r, s=s, p=p,
+                             n_t=n_t)
+    return pl.pallas_call(
+        lambda *refs: kern(refs),
+        grid=(bsz, n_t),
+        in_specs=[
+            pl.BlockSpec((1, 2 * tile_t * r, s), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2 * r, s),
+                         lambda b, i: (b, jnp.maximum(i * tile_t - 1, 0), 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2 * r, s),
+                         lambda b, i: (b, jnp.minimum((i + 1) * tile_t,
+                                                      t // 2 - 1), 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_t * r, p), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((12 * s, p), lambda b, i: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((12 * s, p), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM(((tile_t + 4) * r, s), x.dtype),
+            pltpu.VMEM(((tile_t + 4) * r, s), x.dtype),
+        ],
+    )(xv, xv, xv, gv)
+
+
+def _up_dw_kernel(refs, *, tile_t, r, q, p_s, n_t):
+    it = iter(refs)
+    x_ref, top_ref, bot_ref = next(it), next(it), next(it)
+    g_ref = next(it)
+    out_ref = next(it)
+    sc = next(it)
+    ge = next(it)
+    go = next(it)
+
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    m = tile_t * r
+    h = 2 * r
+
+    sc[0:h, :] = top_ref[0]
+    sc[h : h + m, :] = x_ref[0]
+    sc[h + m :, :] = bot_ref[0]
+
+    @pl.when(i == 0)
+    def _():
+        sc[0:h, :] = jnp.zeros((h, q), sc.dtype)
+
+    @pl.when(i == n_t - 1)
+    def _():
+        sc[h + m :, :] = jnp.zeros((h, q), sc.dtype)
+
+    # de-interleave the cotangent's time-parity streams (even rows → ge)
+    for k in range(tile_t):
+        ge[k * r : (k + 1) * r, :] = g_ref[0, 2 * k * r : (2 * k + 1) * r, :]
+        go[k * r : (k + 1) * r, :] = g_ref[0, (2 * k + 1) * r : (2 * k + 2) * r, :]
+
+    @pl.when(jnp.logical_and(b == 0, i == 0))
+    def _():
+        out_ref[:, :] = jnp.zeros((12 * q, p_s), jnp.float32)
+
+    gidx = jax.lax.broadcasted_iota(jnp.int32, (m, 1), 0) % r
+    first_mask = gidx == 0
+    last_mask = gidx == r - 1
+    tshift = {0: (0, -r), 1: (r, 0)}
+    for stream, g_scr in ((0, ge), (1, go)):
+        gs = g_scr[0:m, :]
+        for local_dt in (0, 1):
+            for dq in (-1, 0, 1):
+                delta = tshift[stream][local_dt] + dq
+                rows = sc[h + delta : h + delta + m, :]
+                if dq == -1:
+                    rows = jnp.where(first_mask, jnp.zeros((), rows.dtype),
+                                     rows)
+                elif dq == 1:
+                    rows = jnp.where(last_mask, jnp.zeros((), rows.dtype),
+                                     rows)
+                j = stream * 6 + local_dt * 3 + dq + 1
+                out_ref[j * q : (j + 1) * q, :] = out_ref[
+                    j * q : (j + 1) * q, :
+                ] + jax.lax.dot_general(
+                    rows, gs, dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+
+
+def conv_up_dw_flat(x, gout, *, c_in: int, c_out: int,
+                    tile_t: int | None = None):
+    """Packed [12·Q, P_s] weight gradient of conv_up_flat.
+    x: [B, T, F·C_in]; gout: [B, 2T, (2F)·C_out]."""
+    from .pallas.conv_strided import up_plan
+
+    bsz, t, fc_in = x.shape
+    q, p_s = up_plan(c_in, c_out)
+    r = fc_in // q
+    if tile_t is None:
+        tile_t = 2
+        while (tile_t * 2 <= t and t % (tile_t * 2) == 0
+               and (tile_t * 2) * r <= 2048
+               and (tile_t * 2) * r * p_s * x.dtype.itemsize <= (1 << 18)):
+            tile_t *= 2
+    while t % tile_t and tile_t > 1:
+        tile_t //= 2
+    n_t = t // tile_t
+    ht = tile_t // 2
+
+    xv = x.reshape(bsz, t * r, q)
+    gv = gout.reshape(bsz, 2 * t * r, p_s)
+    kern = functools.partial(_up_dw_kernel, tile_t=tile_t, r=r, q=q, p_s=p_s,
+                             n_t=n_t)
+    return pl.pallas_call(
+        lambda *refs: kern(refs),
+        grid=(bsz, n_t),
+        in_specs=[
+            pl.BlockSpec((1, tile_t * r, q), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2 * r, q),
+                         lambda b, i: (b, jnp.maximum(i * ht - 1, 0), 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2 * r, q),
+                         lambda b, i: (b, jnp.minimum((i + 1) * ht,
+                                                      t // 2 - 1), 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2 * tile_t * r, p_s), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((12 * q, p_s), lambda b, i: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((12 * q, p_s), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM(((tile_t + 4) * r, q), x.dtype),
+            pltpu.VMEM((tile_t * r, p_s), x.dtype),
+            pltpu.VMEM((tile_t * r, p_s), x.dtype),
+        ],
+    )(xv, xv, xv, gv)
+
+
+@functools.cache
+def _down_op(c_in: int, c_out: int):
+    from .pallas.conv_strided import (
+        conv_down_flat,
+        conv_up_flat,
+        pack_down_weights,
+        pack_up_weights,
+    )
+
+    @jax.custom_vjp
+    def op(x, w, bias):
+        return conv_down_flat(x, pack_down_weights(w, x.dtype), bias,
+                              c_in=c_in, c_out=c_out)
+
+    def fwd(x, w, bias):
+        return op(x, w, bias), (x, w)
+
+    def bwd(res, g):
+        x, w = res
+        dx = conv_up_flat(
+            g, pack_up_weights(_flip_swap(w).astype(g.dtype)),
+            jnp.zeros((c_in,), jnp.float32), c_in=c_out, c_out=c_in)
+        dw12 = conv_down_dw_flat(x, g, c_in=c_in, c_out=c_out)
+        _, unpack = jax.vjp(
+            lambda ww: pack_down_weights(ww.astype(jnp.float32)), w)
+        (dw,) = unpack(dw12)
+        db = jnp.sum(g.astype(jnp.float32), axis=(0, 1)).reshape(
+            -1, c_out).sum(axis=0)
+        return dx, dw.astype(w.dtype), db
+
+    op.defvjp(fwd, bwd)
+    return op
+
+
+@functools.cache
+def _up_op(c_in: int, c_out: int):
+    from .pallas.conv_strided import (
+        conv_down_flat,
+        conv_up_flat,
+        pack_down_weights,
+        pack_up_weights,
+    )
+
+    @jax.custom_vjp
+    def op(x, w, bias):
+        return conv_up_flat(x, pack_up_weights(w, x.dtype), bias,
+                            c_in=c_in, c_out=c_out)
+
+    def fwd(x, w, bias):
+        return op(x, w, bias), (x, w)
+
+    def bwd(res, g):
+        x, w = res
+        dx = conv_down_flat(
+            g, pack_down_weights(_flip_swap(w).astype(g.dtype)),
+            jnp.zeros((c_in,), jnp.float32), c_in=c_out, c_out=c_in)
+        dw12 = conv_up_dw_flat(x, g, c_in=c_in, c_out=c_out)
+        _, unpack = jax.vjp(
+            lambda ww: pack_up_weights(ww.astype(jnp.float32)), w)
+        (dw,) = unpack(dw12)
+        db = jnp.sum(g.astype(jnp.float32), axis=(0, 1)).reshape(
+            -1, c_out).sum(axis=0)
+        return dx, dw.astype(w.dtype), db
+
+    op.defvjp(fwd, bwd)
+    return op
+
+
+def conv_down_flat_t(x, w, bias, *, c_in: int, c_out: int):
+    """Trainable (custom-VJP) flat k4 s2 down-conv (w: raw HWIO [4,4,ci,co])."""
+    return _down_op(c_in, c_out)(x, w, bias)
+
+
+def conv_up_flat_t(x, w, bias, *, c_in: int, c_out: int):
+    """Trainable (custom-VJP) flat transposed k4 s2 up-conv (w: raw HWIO)."""
+    return _up_op(c_in, c_out)(x, w, bias)

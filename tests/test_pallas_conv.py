@@ -463,3 +463,78 @@ def test_conv_flat_residual():
             c=c, residual=jnp.asarray(skip.reshape(B, T, f * c)),
         )
     np.testing.assert_allclose(np.asarray(out), ref, atol=1e-5)
+
+
+@pytest.mark.parametrize("c_in,c_out,f", [(32, 64, 8), (96, 128, 8)])
+def test_down_conv_vjp_matches_xla(c_in, c_out, f):
+    """Custom-VJP flat down-conv: value AND grads (x, w, b) match jax.grad
+    of the strided XLA conv."""
+    from ddim_audio_tpu.ops.flat_grad import conv_down_flat_t
+
+    rng = np.random.default_rng(c_in)
+    B, T = 2, 8
+    x = rng.standard_normal((B, T, f, c_in)).astype(np.float32)
+    w = (rng.standard_normal((4, 4, c_in, c_out)) * 0.1).astype(np.float32)
+    bias = rng.standard_normal(c_out).astype(np.float32)
+    cot = rng.standard_normal((B, T // 2, (f // 2) * c_out)).astype(np.float32)
+
+    def loss_xla(x, w, b):
+        out = conv_apply({"w": w, "b": b}, x, stride=2, padding=1)
+        return jnp.sum(out.reshape(B, T // 2, -1) * jnp.asarray(cot))
+
+    def loss_flat(xf, w, b):
+        out = conv_down_flat_t(xf, w, b, c_in=c_in, c_out=c_out)
+        return jnp.sum(out * jnp.asarray(cot))
+
+    ref_v, ref_g = jax.value_and_grad(loss_xla, argnums=(0, 1, 2))(
+        jnp.asarray(x), jnp.asarray(w), jnp.asarray(bias))
+    with pltpu.force_tpu_interpret_mode():
+        got_v, got_g = jax.value_and_grad(loss_flat, argnums=(0, 1, 2))(
+            jnp.asarray(x.reshape(B, T, f * c_in)), jnp.asarray(w),
+            jnp.asarray(bias))
+    np.testing.assert_allclose(float(got_v), float(ref_v), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(got_g[0]).reshape(B, T, f, c_in), np.asarray(ref_g[0]),
+        atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got_g[1]), np.asarray(ref_g[1]),
+                               rtol=1e-4, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(got_g[2]), np.asarray(ref_g[2]),
+                               rtol=1e-4, atol=1e-3)
+
+
+@pytest.mark.parametrize("c_in,c_out,f_in", [(64, 32, 4), (128, 96, 4)])
+def test_up_conv_vjp_matches_xla(c_in, c_out, f_in):
+    """Custom-VJP flat transposed up-conv: value AND grads match jax.grad
+    of the XLA transposed conv."""
+    from ddim_audio_tpu.models.layers import conv_transpose_apply
+    from ddim_audio_tpu.ops.flat_grad import conv_up_flat_t
+
+    rng = np.random.default_rng(c_in)
+    B, T = 2, 4
+    x = rng.standard_normal((B, T, f_in, c_in)).astype(np.float32)
+    w = (rng.standard_normal((4, 4, c_in, c_out)) * 0.1).astype(np.float32)
+    bias = rng.standard_normal(c_out).astype(np.float32)
+    cot = rng.standard_normal((B, 2 * T, 2 * f_in * c_out)).astype(np.float32)
+
+    def loss_xla(x, w, b):
+        out = conv_transpose_apply({"w": w, "b": b}, x, stride=2, padding=1)
+        return jnp.sum(out.reshape(B, 2 * T, -1) * jnp.asarray(cot))
+
+    def loss_flat(xf, w, b):
+        out = conv_up_flat_t(xf, w, b, c_in=c_in, c_out=c_out)
+        return jnp.sum(out * jnp.asarray(cot))
+
+    ref_v, ref_g = jax.value_and_grad(loss_xla, argnums=(0, 1, 2))(
+        jnp.asarray(x), jnp.asarray(w), jnp.asarray(bias))
+    with pltpu.force_tpu_interpret_mode():
+        got_v, got_g = jax.value_and_grad(loss_flat, argnums=(0, 1, 2))(
+            jnp.asarray(x.reshape(B, T, f_in * c_in)), jnp.asarray(w),
+            jnp.asarray(bias))
+    np.testing.assert_allclose(float(got_v), float(ref_v), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(got_g[0]).reshape(B, T, f_in, c_in), np.asarray(ref_g[0]),
+        atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got_g[1]), np.asarray(ref_g[1]),
+                               rtol=1e-4, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(got_g[2]), np.asarray(ref_g[2]),
+                               rtol=1e-4, atol=1e-3)
