@@ -44,6 +44,17 @@ def main():
 
     config = load_config("configs/audio.yml")
     cfg = ModelConfig.from_config(config)
+    # sampling rows run the production inference dtype (sampling.dtype,
+    # bf16 by default — sampler update math stays fp32); the train row
+    # keeps model.dtype
+    eval_cfg = cfg
+    sdtype = getattr(config.sampling, "dtype", None)
+    if sdtype:
+        import dataclasses
+
+        from ddim_audio_tpu.config import resolve_dtype
+
+        eval_cfg = dataclasses.replace(cfg, dtype=resolve_dtype(sdtype))
     sched = make_schedule(
         config.diffusion.beta_schedule,
         config.diffusion.beta_start,
@@ -53,7 +64,7 @@ def main():
     params = init_model(jax.random.key(0), cfg)
 
     def denoise(p, x, t):
-        return apply_model(p, x, t, cfg, train=False)
+        return apply_model(p, x, t, eval_cfg, train=False)
 
     def fetch(o):
         return float(jnp.sum(jnp.abs(o)))

@@ -303,14 +303,18 @@ def _conv_kernel(refs, *, tile_t, g, p, fpp, use6, n_t, has_res, has_pre,
 def _pick_tile_t(t: int, g: int, p: int, itemsize: int, tile_t=None) -> int:
     """Largest even tile_t dividing t with block bytes ≲ 512 KB and M ≲ 2048
     (the nine tap operands can live simultaneously on the Mosaic stack, so
-    block size bounds scoped-VMEM pressure)."""
+    block size bounds scoped-VMEM pressure). 16-bit storage halves the
+    bytes, so both caps double (measured: bf16 s0 conv 1.57 → 1.43 ms at
+    tile_t 64; tile_t 128 exceeds VMEM)."""
+    m_cap = 2048 if itemsize >= 4 else 4096
+    b_cap = (1 << 19) if itemsize >= 4 else (1 << 20)
     if tile_t is None:
         tile_t = 2
         while (
             tile_t * 2 <= t
             and t % (tile_t * 2) == 0
-            and (tile_t * 2) * g <= 2048
-            and (tile_t * 2) * g * p * itemsize <= (1 << 19)
+            and (tile_t * 2) * g <= m_cap
+            and (tile_t * 2) * g * p * itemsize <= b_cap
         ):
             tile_t *= 2
     while t % tile_t and tile_t > 1:
