@@ -70,12 +70,32 @@ def main():
     )
     params = init_model(jax.random.key(0), cfg)
 
-    def denoise(p, x, t):
-        return apply_model(p, x, t, cfg, train=False)
+    import jax.numpy as jnp
 
-    sampler = ScanSampler(denoise, kind="generalized", scan_chunk=TIMESTEPS)
+    from ddim_audio_tpu.models.unet import (
+        _supports_full_flat,
+        apply_model_flat_io,
+    )
+
     seq = make_timestep_subsequence(sched.num_timesteps, TIMESTEPS, "uniform")
     x = jax.random.normal(jax.random.key(1), SHAPE, jax.numpy.float32)
+
+    if _supports_full_flat(cfg) and jax.default_backend() == "tpu":
+        # production flat-io state: pad/transpose once, carry the flat
+        # [B, T, F·ch0] array across all steps (see runners/_sampler_for_state)
+        c0 = cfg.ch[0]
+        b, cin, t_, f_ = x.shape
+        xh = jnp.transpose(x, (0, 2, 3, 1))
+        x = jnp.pad(xh, ((0, 0), (0, 0), (0, 0), (0, c0 - cin))).reshape(
+            b, t_, f_ * c0)
+
+        def denoise(p, xf, t):
+            return apply_model_flat_io(p, xf, t, cfg)
+    else:
+        def denoise(p, x, t):
+            return apply_model(p, x, t, cfg, train=False)
+
+    sampler = ScanSampler(denoise, kind="generalized", scan_chunk=TIMESTEPS)
 
     def fetch(o):
         # block_until_ready can return early through the remote-TPU tunnel;

@@ -1,3 +1,5 @@
-from .unet import init_model, apply_model, ModelConfig, count_params
+from .unet import (init_model, apply_model, apply_model_flat_io,
+                   ModelConfig, count_params)
 
-__all__ = ["init_model", "apply_model", "ModelConfig", "count_params"]
+__all__ = ["init_model", "apply_model", "apply_model_flat_io",
+           "ModelConfig", "count_params"]

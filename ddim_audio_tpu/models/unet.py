@@ -389,14 +389,54 @@ def _supports_full_flat(cfg: ModelConfig) -> bool:
     return True
 
 
-def _apply_model_flat(params, x, temb_chunks, cfg: ModelConfig):
-    """Flat-layout forward: after the head conv, activations stay in the
-    unpadded [B, T, F·C] layout through every resblock and every strided
-    stage transition (Pallas kernels); only the tiny bottleneck tokens and
-    the head/tail convs use XLA's NHWC path.
+def apply_model_flat_io(params, xf, t, cfg: ModelConfig):
+    """Flat-io denoiser for sampler loops: xf [B, T, F·ch[0]] flat, channel-
+    padded — the real data lives in lanes f·ch[0] + c for c < cfg.channels;
+    the head conv's zero-padded weight columns make the remaining lanes
+    inert, so a sampler may carry this array across steps without ever
+    re-padding (junk lanes evolve arbitrarily and are never read). Returns
+    the flat eps prediction (lanes ≥ channels hold unspecified values).
 
-    x: NHWC [B, T, F, channels] in compute dtype; returns [B, C, T, F] fp32
-    (same contract as the XLA branch of apply_model)."""
+    Rationale: carrying NCHW through the sampler costs ~8.6 ms/step at
+    [1,2,8192,256] in entry/exit glue (NCHW↔NHWC transposes, channel pad,
+    dtype-convert materializations — profiled); converting once per sample
+    call removes all of it."""
+    c0 = cfg.ch[0]
+    if xf.ndim != 3 or xf.shape[2] != cfg.f_size * c0:
+        raise ValueError(
+            f"expected flat x [B, T, {cfg.f_size * c0}], got {xf.shape}")
+    stride_total = 2 ** (len(cfg.ch) - 1)
+    if xf.shape[1] % stride_total != 0:
+        raise ValueError(
+            f"T={xf.shape[1]} must be divisible by the total stride"
+            f" {stride_total}")
+    temb = beta_embedding_apply(
+        params["temb"], t, num_timesteps=cfg.num_timesteps, dtype=jnp.float32
+    )
+    temb_chunks = list(jnp.split(temb, _split_points(cfg.embedding_sizes),
+                                 axis=-1))
+    return _apply_model_flat_core(params, xf.astype(cfg.dtype), temb_chunks,
+                                  cfg)
+
+
+def _apply_model_flat(params, x, temb_chunks, cfg: ModelConfig):
+    """NHWC wrapper around the flat-io core (same contract as the XLA
+    branch of apply_model): pad channels → flat → core → slice/transpose."""
+    bsz, t, f, cin = x.shape
+    c0 = cfg.ch[0]
+    xp = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, c0 - cin)))
+    of = _apply_model_flat_core(params, xp.reshape(bsz, t, f * c0),
+                                temb_chunks, cfg)
+    h = of.reshape(bsz, t, f, c0)[..., :cin]
+    return jnp.transpose(h, (0, 3, 1, 2)).astype(jnp.float32)
+
+
+def _apply_model_flat_core(params, xf, temb_chunks, cfg: ModelConfig):
+    """Flat-layout forward: activations stay in the unpadded [B, T, F·C]
+    layout through the head conv, every resblock, and every strided stage
+    transition (Pallas kernels); only the tiny bottleneck tokens use XLA's
+    dense path. xf: [B, T, F·ch[0]] channel-padded flat, compute dtype;
+    returns the same shape/dtype."""
     from ..ops.flat_resblock import resblock_flat
     from ..ops.pallas.conv_flat import conv3x3_flat, pack_conv_weights
     from ..ops.pallas.conv_strided import (
@@ -421,17 +461,18 @@ def _apply_model_flat(params, x, temb_chunks, cfg: ModelConfig):
         return hf
 
     # Head conv as a flat kernel: the XLA NHWC conv pays a C=2→128 lane
-    # padding tax (~10 ms at sampling scale); instead zero-pad the input
-    # channels to ch[0] (fuses into the layout pass at model entry) and run
-    # the standard flat conv with channel-padded weights.
-    bsz, t, f, cin = x.shape
+    # padding tax (~10 ms at sampling scale); the input arrives channel-
+    # padded to ch[0] and the head weight's zero input-channel columns keep
+    # the pad lanes inert.
+    bsz, t, fc0 = xf.shape
     c0 = cfg.ch[0]
+    f = cfg.f_size
+    cin = cfg.channels
     head = params["down_modules"]["head"]
     w_head = jnp.zeros((3, 3, c0, c0), jnp.float32).at[:, :, :cin, :].set(
         head["w"].astype(jnp.float32))
-    xp = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, c0 - cin)))
     hf, hs1, hs2 = conv3x3_flat(
-        xp.reshape(bsz, t, f * c0),
+        xf,
         pack_conv_weights(w_head, compute_dtype),
         add=jnp.tile(head["b"].astype(jnp.float32), f),
         c=c0, want_stats=True,
@@ -494,21 +535,19 @@ def _apply_model_flat(params, x, temb_chunks, cfg: ModelConfig):
             t *= 2
             f *= 2
     # Tail conv likewise flat: pad the ch[0]→channels weights to ch[0]→ch[0]
-    # and slice the first `channels` lanes afterwards (fuses into the final
-    # layout pass). The final head skip add rides the kernel's residual
-    # stream.
+    # (the caller slices the first `channels` lanes, or — in a flat-io
+    # sampler loop — leaves the junk lanes in place). The final head skip
+    # add rides the kernel's residual stream.
     tail = params["up_modules"]["tail"]
     cout = tail["w"].shape[3]
     w_tail = jnp.zeros((3, 3, c0, c0), jnp.float32).at[:, :, :, :cout].set(
         tail["w"].astype(jnp.float32))
     b_tail = jnp.zeros((c0,), jnp.float32).at[:cout].set(
         tail["b"].astype(jnp.float32))
-    of = conv3x3_flat(
+    return conv3x3_flat(
         hf, pack_conv_weights(w_tail, compute_dtype),
         add=jnp.tile(b_tail, f), c=c0, residual=hidden.pop(),
     )
-    h = of.reshape(bsz, t, f, c0)[..., :cout]
-    return jnp.transpose(h, (0, 3, 1, 2)).astype(jnp.float32)
 
 
 def _split_points(sizes: Sequence[int]) -> list[int]:

@@ -428,16 +428,12 @@ class Diffusion:
         seq = make_timestep_subsequence(
             self.num_timesteps, args.timesteps, args.skip_type
         )
-        sampler = ScanSampler(
-            self._denoise_for(int(x.shape[0])),
-            kind=args.sample_type,
-            scan_chunk=int(getattr(config.sampling, "scan_chunk", 100)),
-        )
+        sampler, x_state, finalize = self._sampler_for_state(x)
         out = sampler.sample_last(
-            x, seq, self.schedule, eta=args.eta,
+            x_state, seq, self.schedule, eta=args.eta,
             key=jax.random.key(args.seed + 1), params=params,
         )
-        out = np.asarray(out)
+        out = finalize(out)
         if config.sampling.denoise:
             out = np.asarray(denoise_2d(jnp.asarray(out)))
         out = out.transpose(0, 3, 2, 1)  # [N,C,T,F] → [N,F,T,C]
@@ -461,6 +457,68 @@ class Diffusion:
             )
         logging.info("wrote %d final samples to %s", len(out), args.image_folder)
 
+    def _sampler_for_state(self, x):
+        """(sampler, x_state, finalize) for a start noise x [B, C, T, F].
+
+        When the eval model runs fully flat on TPU, the sampler carries the
+        channel-padded FLAT state [B, T, F·ch0] across steps
+        (models.unet.apply_model_flat_io): the per-step NCHW↔NHWC
+        transposes, channel pad, and convert/copy materializations cost
+        ~8.6 ms/step at [1,2,8192,256] (profiled). Kept states are sliced
+        back to [B, C, T, F] inside the chunk (state_to_saved), and eta>0
+        noise is drawn channel-shaped then zero-padded so real-lane
+        trajectories match the NCHW path bit-for-bit."""
+        from ..models.unet import _supports_full_flat, apply_model_flat_io
+
+        config = self.config
+        cfg = self.eval_cfg
+        kind = self.args.sample_type
+        scan_chunk = int(getattr(config.sampling, "scan_chunk", 100))
+        batch = int(x.shape[0])
+        flat_ok = (
+            (cfg.conv_impl == "pallas"
+             or (cfg.conv_impl == "auto"
+                 and jax.default_backend() == "tpu"))
+            and _supports_full_flat(cfg)
+        )
+        if not flat_ok:
+            sampler = ScanSampler(
+                self._denoise_for(batch), kind=kind, scan_chunk=scan_chunk)
+            return sampler, x, np.asarray
+
+        c0, cin, f = cfg.ch[0], cfg.channels, cfg.f_size
+
+        def to_flat(xn):
+            b, _, t, ff = xn.shape
+            xh = jnp.transpose(xn, (0, 2, 3, 1))
+            xp = jnp.pad(xh, ((0, 0), (0, 0), (0, 0), (0, c0 - cin)))
+            return xp.reshape(b, t, ff * c0)
+
+        def from_flat(xf):
+            b, t, _ = xf.shape
+            h = xf.reshape(b, t, f, c0)[..., :cin]
+            return jnp.transpose(h, (0, 3, 1, 2)).astype(jnp.float32)
+
+        def noise_builder(key, xf):
+            b, t, _ = xf.shape
+            return to_flat(jax.random.normal(key, (b, cin, t, f), xf.dtype))
+
+        def fn(params, xf, t):
+            return apply_model_flat_io(params, xf, t, cfg)
+
+        mesh = self.mesh
+        if (mesh is not None and mesh.shape.get("sp", 1) == 1
+                and batch % mesh.shape["dp"] == 0):
+            from jax.experimental.shard_map import shard_map
+            from jax.sharding import PartitionSpec as P
+
+            fn = shard_map(fn, mesh=mesh, in_specs=(P(), P("dp"), P("dp")),
+                           out_specs=P("dp"), check_rep=False)
+        sampler = ScanSampler(
+            fn, kind=kind, scan_chunk=scan_chunk,
+            state_to_saved=from_flat, noise_builder=noise_builder)
+        return sampler, to_flat(x), lambda out: np.asarray(from_flat(out))
+
     def sample_image(self, x, params, select_index=None):
         """Timestep subsequence + sampler dispatch
         (reference runners/diffusion.py:475-520)."""
@@ -468,13 +526,9 @@ class Diffusion:
         seq = make_timestep_subsequence(
             self.num_timesteps, args.timesteps, args.skip_type
         )
-        sampler = ScanSampler(
-            self._denoise_for(int(x.shape[0])),
-            kind=args.sample_type,
-            scan_chunk=int(getattr(self.config.sampling, "scan_chunk", 100)),
-        )
+        sampler, x_state, _ = self._sampler_for_state(x)
         return sampler.sample(
-            x,
+            x_state,
             seq,
             self.schedule,
             eta=args.eta,

@@ -65,12 +65,23 @@ class ScanSampler:
     (raw vs EMA).
     """
 
-    def __init__(self, denoise_fn, *, kind: str = "generalized", scan_chunk: int = 100):
+    def __init__(self, denoise_fn, *, kind: str = "generalized",
+                 scan_chunk: int = 100, state_to_saved=None,
+                 noise_builder=None):
+        """state_to_saved: optional fn(x) → array stored in the kept-state
+        buffers instead of x itself (the flat-io sampling mode carries a
+        channel-padded [B, T, F·ch0] state whose junk lanes would inflate
+        buffers and tunnel transfers 16×; the converter slices back to the
+        real channels). noise_builder: optional fn(key, x) → per-step noise
+        (flat-io mode draws channel-shaped noise and zero-pads it, so real-
+        lane trajectories stay bit-identical to the NCHW path)."""
         if kind not in ("generalized", "ddpm_noisy"):
             raise NotImplementedError(f"sample_type {kind}")
         self.denoise_fn = denoise_fn
         self.kind = kind
         self.scan_chunk = int(scan_chunk)
+        self.state_to_saved = state_to_saved
+        self.noise_builder = noise_builder
         self._cache = {}
 
     # ---- jitted chunk programs ------------------------------------------
@@ -93,25 +104,26 @@ class ScanSampler:
         return self._cache[key_]
 
     def _buffered_chunk(self, n_slots, with_noise, ext_noise, shape, dtype,
-                        buf_dtype):
+                        buf_dtype, saved_shape):
         key_ = ("buf", n_slots, with_noise, ext_noise, shape, str(dtype),
-                str(buf_dtype))
+                str(buf_dtype), saved_shape)
         if key_ not in self._cache:
             step = self._make_step(with_noise, ext_noise)
+            sts = self.state_to_saved or (lambda v: v)
 
             def fn(params, x, coeffs, x0_slots, xt_slots, rng):
-                x0_buf = jnp.zeros((n_slots + 1,) + shape, buf_dtype)
-                xt_buf = jnp.zeros((n_slots + 1,) + shape, buf_dtype)
+                x0_buf = jnp.zeros((n_slots + 1,) + saved_shape, buf_dtype)
+                xt_buf = jnp.zeros((n_slots + 1,) + saved_shape, buf_dtype)
 
                 def body(carry, inp):
                     x, x0_buf, xt_buf = carry
                     coeff, x0_slot, xt_slot = inp
                     x0, x_next = step(params, x, coeff, rng)
                     x0_buf = jax.lax.dynamic_update_index_in_dim(
-                        x0_buf, x0.astype(buf_dtype), x0_slot, 0
+                        x0_buf, sts(x0).astype(buf_dtype), x0_slot, 0
                     )
                     xt_buf = jax.lax.dynamic_update_index_in_dim(
-                        xt_buf, x_next.astype(buf_dtype), xt_slot, 0
+                        xt_buf, sts(x_next).astype(buf_dtype), xt_slot, 0
                     )
                     return (x_next, x0_buf, xt_buf), None
 
@@ -137,9 +149,11 @@ class ScanSampler:
             eps = denoise_fn(params, x, tb)
             if with_noise and noise is None:
                 kglobal = coeff[-1]  # appended global step index
-                noise = jax.random.normal(
-                    jax.random.fold_in(rng, kglobal), x.shape, x.dtype
-                )
+                nkey = jax.random.fold_in(rng, kglobal)
+                if self.noise_builder is not None:
+                    noise = self.noise_builder(nkey, x)
+                else:
+                    noise = jax.random.normal(nkey, x.shape, x.dtype)
             if kind == "generalized":
                 _, at, at_next, c1, c2 = coeff[:5]
                 return ddim_step(x, eps, at, at_next, c1, c2, noise)
@@ -212,10 +226,15 @@ class ScanSampler:
         rng = key if key is not None else jax.random.key(0)
         buf_dtype = x.dtype if buffer_dtype is None else jnp.dtype(buffer_dtype)
 
-        max_slots = max(1, int(_BUFFER_BUDGET_BYTES // (2 * max(x.nbytes, 1))) - 1)
+        sts = self.state_to_saved or (lambda v: v)
+        saved_shape = tuple(jax.eval_shape(sts, x).shape)
+        saved_nbytes = (int(np.prod(saved_shape))
+                        * jnp.dtype(buf_dtype).itemsize)
+        max_slots = max(
+            1, int(_BUFFER_BUDGET_BYTES // (2 * max(saved_nbytes, 1))) - 1)
         chunks = _chunk_plan(K, sel, self.scan_chunk, max_slots)
 
-        xs = [np.asarray(x)]
+        xs = [np.asarray(sts(x))]
         x0_preds = []
         pending = None  # (x0_buf, xt_buf) from the previous chunk, in flight
 
@@ -241,7 +260,7 @@ class ScanSampler:
                 [slot_of.get(k, n_slots) for k in range(start, stop)], np.int32
             )
             fn = self._buffered_chunk(n_slots, with_noise, ext_noise, x.shape,
-                                      x.dtype, buf_dtype)
+                                      x.dtype, buf_dtype, saved_shape)
             x, x0_buf, xt_buf = fn(
                 params, x, packed, jnp.asarray(slots), jnp.asarray(slots), rng
             )

@@ -283,3 +283,77 @@ def test_ddpm_trajectory_parity(ref_setup):
         np.testing.assert_allclose(a, b, atol=5e-4)
     for a, b in zip(x0s, x0_ref):
         np.testing.assert_allclose(a, b, atol=5e-3)
+
+
+@pytest.mark.parametrize("eta", [0.0, 1.0])
+def test_flat_io_sampling_matches_nchw(eta):
+    """The flat-io sampler state (channel-padded [B, T, F·ch0] carried
+    across steps — runners/_sampler_for_state / bench.py) produces
+    bit-matching real-lane trajectories vs the NCHW path: the head conv's
+    zero-padded weight columns make junk lanes inert, kept states are
+    sliced back via state_to_saved, and eta>0 noise is drawn channel-shaped
+    then zero-padded (same RNG stream as the NCHW path)."""
+    import dataclasses
+
+    from jax.experimental.pallas import tpu as pltpu
+
+    from ddim_audio_tpu.models.unet import (
+        ModelConfig,
+        apply_model,
+        apply_model_flat_io,
+        init_model,
+    )
+    from ddim_audio_tpu.utils.namespace import dict2namespace
+
+    transformers = dict2namespace(
+        {"module": "fnet",
+         "kwargs": {"hidden_size": 32, "num_hidden_layers": 1,
+                    "intermediate_size": 64, "hidden_act": "gelu_new",
+                    "hidden_dropout_prob": 0.0, "initializer_range": 0.02,
+                    "layer_norm_eps": 1e-6},
+         "channels": 32, "dtype": None, "fourier_impl": "dft_matmul"})
+    cfg = ModelConfig(
+        channels=2, f_size=16, ch=(32, 64), krn=(3, 3), res=(1, 1),
+        num_timesteps=20, transformers=transformers, conv_impl="pallas",
+    )
+    params = init_model(jax.random.key(0), cfg)
+    sched = make_schedule("linear", 1e-4, 2e-2, 20)
+    seq = list(range(0, 20, 4))
+    x = jax.random.normal(jax.random.key(1), (2, 2, 32, 16), jnp.float32)
+    key = jax.random.key(7)
+    c0, cin, f = cfg.ch[0], cfg.channels, cfg.f_size
+
+    def to_flat(xn):
+        b, _, t, ff = xn.shape
+        xh = jnp.transpose(xn, (0, 2, 3, 1))
+        return jnp.pad(xh, ((0, 0),) * 3 + ((0, c0 - cin),)).reshape(
+            b, t, ff * c0)
+
+    def from_flat(xf):
+        b, t, _ = xf.shape
+        h = xf.reshape(b, t, f, c0)[..., :cin]
+        return jnp.transpose(h, (0, 3, 1, 2)).astype(jnp.float32)
+
+    def noise_builder(k, xf):
+        b, t, _ = xf.shape
+        return to_flat(jax.random.normal(k, (b, cin, t, f), xf.dtype))
+
+    with pltpu.force_tpu_interpret_mode():
+        ref_sampler = ScanSampler(
+            lambda p, xx, t: apply_model(p, xx, t, cfg), kind="generalized",
+            scan_chunk=3)
+        ref_xs, ref_x0 = ref_sampler.sample(
+            x, seq, sched, eta=eta, select_index={0, 2, 4},
+            key=key, params=params)
+        flat_sampler = ScanSampler(
+            lambda p, xf, t: apply_model_flat_io(p, xf, t, cfg),
+            kind="generalized", scan_chunk=3,
+            state_to_saved=from_flat, noise_builder=noise_builder)
+        flat_xs, flat_x0 = flat_sampler.sample(
+            to_flat(x), seq, sched, eta=eta, select_index={0, 2, 4},
+            key=key, params=params)
+    assert len(ref_xs) == len(flat_xs) and len(ref_x0) == len(flat_x0)
+    for a, b in zip(ref_xs, flat_xs):
+        np.testing.assert_allclose(a, b, atol=1e-5)
+    for a, b in zip(ref_x0, flat_x0):
+        np.testing.assert_allclose(a, b, atol=1e-5)
