@@ -113,9 +113,15 @@ def resblock_flat(p, x_flat, temb, *, f: int, c: int, tile_t: int | None = None,
         x_flat.astype(jnp.float32)
         + s.astype(jnp.float32) * scale3[:, None, :]
         + shift3[:, None, :]
-    )
+    ).astype(dtype)
     if want_out_stats:
-        # XLA fuses these reductions with the elementwise pass above
-        out_stats = (jnp.sum(out, axis=1), jnp.einsum("btk,btk->bk", out, out))
-        return out.astype(dtype), out_stats
-    return out.astype(dtype)
+        # Reductions read the STORAGE-dtype out (a separate fusion): keeping
+        # them on the fp32 expression forces XLA to materialize a full fp32
+        # copy of the stage array between the add and the reductions
+        # (profiled: 0.63 ms per resblock at s0-bf16). Stats from bf16
+        # values deviate ~1e-3 relative — the folded GN affine is far less
+        # sensitive than that (and the fp32 path is unchanged: dtype=fp32).
+        o32 = out.astype(jnp.float32)
+        out_stats = (jnp.sum(o32, axis=1), jnp.einsum("btk,btk->bk", o32, o32))
+        return out, out_stats
+    return out

@@ -189,20 +189,43 @@ def _conv_kernel(refs, *, tile_t, g, p, fpp, use6, n_t, has_res, has_pre,
             x32 = jax.nn.silu(x32)
         return x32.astype(scratch.dtype)
 
-    scratch[0:h, :] = prep(top_ref[0], rt_ref[0] if has_res else None)
-    scratch[h : h + m, :] = prep(x_ref[0], rm_ref[0] if has_res else None)
-    scratch[h + m :, :] = prep(bot_ref[0], rb_ref[0] if has_res else None)
+    nz = m + 2 * h
+    zero = jnp.zeros((), scratch.dtype)
+
+    pieces = (
+        (0, h, top_ref, rt_ref if has_res else None),
+        (h, m, x_ref, rm_ref if has_res else None),
+        (h + m, h, bot_ref, rb_ref if has_res else None),
+    )
+    if use6:
+        for r0, n, ref, res in pieces:
+            scratch[r0 : r0 + n, :] = prep(ref[0], res[0] if res is not None else None)
+    else:
+        # 9-tap path: the f-boundary masked variants (lo: last-period rows
+        # zeroed, hi: first-period rows zeroed) are written DURING assembly
+        # from the same registers — two full-scratch read-back passes
+        # removed vs masking afterwards.
+        for r0, n, ref, res in pieces:
+            v = prep(ref[0], res[0] if res is not None else None)
+            gi = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0) % g
+            scratch[r0 : r0 + n, :] = v
+            lo_scr[r0 : r0 + n, :] = jnp.where(gi == g - 1, zero, v)
+            hi_scr[r0 : r0 + n, :] = jnp.where(gi == 0, zero, v)
 
     @pl.when(i == 0)
     def _():
         scratch[0:h, :] = jnp.zeros((h, p), scratch.dtype)
+        if not use6:
+            lo_scr[0:h, :] = jnp.zeros((h, p), scratch.dtype)
+            hi_scr[0:h, :] = jnp.zeros((h, p), scratch.dtype)
 
     @pl.when(i == n_t - 1)
     def _():
         scratch[h + m :, :] = jnp.zeros((h, p), scratch.dtype)
+        if not use6:
+            lo_scr[h + m :, :] = jnp.zeros((h, p), scratch.dtype)
+            hi_scr[h + m :, :] = jnp.zeros((h, p), scratch.dtype)
 
-    nz = m + 2 * h
-    zero = jnp.zeros((), scratch.dtype)
     acc = jnp.zeros((m, p), jnp.float32)
     if use6:
         # 2-view scheme (see pack_conv_weights): build two lane-rotated
@@ -250,15 +273,9 @@ def _conv_kernel(refs, *, tile_t, g, p, fpp, use6, n_t, has_res, has_pre,
                     preferred_element_type=jnp.float32,
                 )
     else:
-        # fpp == 1: 9 row-shifted taps (already optimal — the f-window maps
-        # 1:1 onto period-row offsets). F-boundary zero padding: the ±1
-        # period shift crosses a time row exactly at the first/last period —
-        # those taps must contribute zero. Masked copies are materialized
-        # ONCE into scratch buffers (not once per tap — nine live [M, P]
-        # temporaries blow the Mosaic stack).
-        gidx = jax.lax.broadcasted_iota(jnp.int32, (nz, 1), 0) % g
-        lo_scr[:, :] = jnp.where(gidx == g - 1, zero, scratch[:, :])
-        hi_scr[:, :] = jnp.where(gidx == 0, zero, scratch[:, :])
+        # 9-tap path: taps read the pre-masked buffers written during
+        # assembly (fpp == 1 always; 16-bit storage at any fpp — see
+        # pack_conv_weights).
         for dt in range(3):
             for dg in range(3):
                 delta = (dt - 1) * g + (dg - 1)
