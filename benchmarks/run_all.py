@@ -63,22 +63,62 @@ def main():
     )
     params = init_model(jax.random.key(0), cfg)
 
-    def denoise(p, x, t):
-        return apply_model(p, x, t, eval_cfg, train=False)
+    # production flat-io sampling state (mirrors runners/_sampler_for_state
+    # and bench.py): pad/transpose once, carry [B, T, F·ch0] flat
+    from ddim_audio_tpu.models.unet import (
+        _supports_full_flat,
+        apply_model_flat_io,
+    )
+
+    c0, cin, fsz = cfg.ch[0], cfg.channels, cfg.f_size
+    flat_io = (_supports_full_flat(eval_cfg)
+               and jax.default_backend() == "tpu")
+
+    def to_flat(xn):
+        b, _, t, ff = xn.shape
+        xh = jnp.transpose(xn, (0, 2, 3, 1))
+        return jnp.pad(xh, ((0, 0),) * 3 + ((0, c0 - cin),)).reshape(
+            b, t, ff * c0)
+
+    def from_flat(xf):
+        b, t, _ = xf.shape
+        h = xf.reshape(b, t, fsz, c0)[..., :cin]
+        return jnp.transpose(h, (0, 3, 1, 2)).astype(jnp.float32)
+
+    def noise_builder(key, xf):
+        b, t, _ = xf.shape
+        return to_flat(jax.random.normal(key, (b, cin, t, fsz), xf.dtype))
+
+    if flat_io:
+        def denoise(p, xf, t):
+            return apply_model_flat_io(p, xf, t, eval_cfg)
+
+        sampler_kwargs = dict(state_to_saved=from_flat,
+                              noise_builder=noise_builder)
+        prep = to_flat
+    else:
+        def denoise(p, x, t):
+            return apply_model(p, x, t, eval_cfg, train=False)
+
+        sampler_kwargs = {}
+        prep = lambda v: v  # noqa: E731
 
     def fetch(o):
-        return float(jnp.sum(jnp.abs(o)))
+        return float(jnp.sum(jnp.abs(o.astype(jnp.float32))))
 
     def emit(metric, value, unit="s"):
         print(json.dumps({"metric": metric, "value": round(value, 3),
                           "unit": unit}), flush=True)
 
-    renorm = jax.jit(lambda o: o * jax.lax.rsqrt(jnp.mean(o * o) + 1e-8))
+    renorm = jax.jit(lambda o: (o * jax.lax.rsqrt(
+        jnp.mean(o.astype(jnp.float32) ** 2) + 1e-8)).astype(o.dtype))
 
     # --- row 1: DDIM eta=0, 100 steps, batch 1 ---------------------------
-    sampler = ScanSampler(denoise, kind="generalized", scan_chunk=100)
+    sampler = ScanSampler(denoise, kind="generalized", scan_chunk=100,
+                          **sampler_kwargs)
     seq100 = make_timestep_subsequence(sched.num_timesteps, 100, "uniform")
-    x = jax.random.normal(jax.random.key(1), (1, 2, 8192, 256), jnp.float32)
+    x = prep(jax.random.normal(jax.random.key(1), (1, 2, 8192, 256),
+                               jnp.float32))
     fetch(sampler.sample_last(x, seq100, sched, eta=0.0, params=params))
     t0 = time.time()
     out = sampler.sample_last(x, seq100, sched, eta=0.0, params=params)
@@ -102,9 +142,11 @@ def main():
     emit("row3_sequence10_trajectory_100step", time.time() - t0)
 
     # --- row 4: ddpm eta=1, 1000 steps, batch 2 (last only) ---------------
-    ddpm = ScanSampler(denoise, kind="ddpm_noisy", scan_chunk=100)
+    ddpm = ScanSampler(denoise, kind="ddpm_noisy", scan_chunk=100,
+                       **sampler_kwargs)
     seq1000 = make_timestep_subsequence(sched.num_timesteps, 1000, "uniform")
-    x2 = jax.random.normal(jax.random.key(4), (2, 2, 8192, 256), jnp.float32)
+    x2 = prep(jax.random.normal(jax.random.key(4), (2, 2, 8192, 256),
+                                jnp.float32))
     fetch(ddpm.sample_last(x2, seq1000[:100], sched, key=jax.random.key(5),
                            params=params))  # compile on a short chunk set
     t0 = time.time()

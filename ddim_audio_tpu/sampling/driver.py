@@ -156,10 +156,15 @@ class ScanSampler:
                     noise = jax.random.normal(nkey, x.shape, x.dtype)
             if kind == "generalized":
                 _, at, at_next, c1, c2 = coeff[:5]
-                return ddim_step(x, eps, at, at_next, c1, c2, noise)
+                x0, x_next = ddim_step(x, eps, at, at_next, c1, c2, noise)
             else:
                 _, at, coef_x0, coef_x, noise_scale = coeff[:5]
-                return ddpm_step(x, eps, at, coef_x0, coef_x, noise_scale, noise)
+                x0, x_next = ddpm_step(x, eps, at, coef_x0, coef_x,
+                                       noise_scale, noise)
+            # fp32 coefficient math with a low-precision carry (the flat-io
+            # bf16 state): intermediates promote to fp32, only the stored
+            # carry re-quantizes
+            return x0, x_next.astype(x.dtype)
 
         return step
 
