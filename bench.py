@@ -75,6 +75,7 @@ def main():
     from ddim_audio_tpu.models.unet import (
         _supports_full_flat,
         apply_model_flat_io,
+        flat_io_adapters,
     )
 
     seq = make_timestep_subsequence(sched.num_timesteps, TIMESTEPS, "uniform")
@@ -83,11 +84,8 @@ def main():
     if _supports_full_flat(cfg) and jax.default_backend() == "tpu":
         # production flat-io state: pad/transpose once, carry the flat
         # [B, T, F·ch0] array across all steps (see runners/_sampler_for_state)
-        c0 = cfg.ch[0]
-        b, cin, t_, f_ = x.shape
-        xh = jnp.transpose(x, (0, 2, 3, 1))
-        x = jnp.pad(xh, ((0, 0), (0, 0), (0, 0), (0, c0 - cin))).reshape(
-            b, t_, f_ * c0)
+        to_flat, _, _ = flat_io_adapters(cfg)
+        x = to_flat(x)
 
         def denoise(p, xf, t):
             return apply_model_flat_io(p, xf, t, cfg)

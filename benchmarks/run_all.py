@@ -63,31 +63,17 @@ def main():
     )
     params = init_model(jax.random.key(0), cfg)
 
-    # production flat-io sampling state (mirrors runners/_sampler_for_state
-    # and bench.py): pad/transpose once, carry [B, T, F·ch0] flat
+    # production flat-io sampling state (the single adapter contract from
+    # models.unet, shared with runners/_sampler_for_state and bench.py)
     from ddim_audio_tpu.models.unet import (
         _supports_full_flat,
         apply_model_flat_io,
+        flat_io_adapters,
     )
 
-    c0, cin, fsz = cfg.ch[0], cfg.channels, cfg.f_size
     flat_io = (_supports_full_flat(eval_cfg)
                and jax.default_backend() == "tpu")
-
-    def to_flat(xn):
-        b, _, t, ff = xn.shape
-        xh = jnp.transpose(xn, (0, 2, 3, 1))
-        return jnp.pad(xh, ((0, 0),) * 3 + ((0, c0 - cin),)).reshape(
-            b, t, ff * c0)
-
-    def from_flat(xf):
-        b, t, _ = xf.shape
-        h = xf.reshape(b, t, fsz, c0)[..., :cin]
-        return jnp.transpose(h, (0, 3, 1, 2)).astype(jnp.float32)
-
-    def noise_builder(key, xf):
-        b, t, _ = xf.shape
-        return to_flat(jax.random.normal(key, (b, cin, t, fsz), xf.dtype))
+    to_flat, from_flat, noise_builder = flat_io_adapters(eval_cfg)
 
     if flat_io:
         def denoise(p, xf, t):

@@ -49,7 +49,9 @@ def audio_length(path: str, target_samplerate: int) -> int | None:
                     break
                 cid, size = hdr[:4], struct.unpack("<I", hdr[4:])[0]
                 if cid == b"fmt ":
-                    fmt = f.read(size)
+                    # odd-sized chunks carry a RIFF pad byte — skip it here
+                    # too, or the walk misaligns on the next header
+                    fmt = f.read(size + (size & 1))
                     sr = struct.unpack("<I", fmt[4:8])[0]
                     block_align = struct.unpack("<H", fmt[12:14])[0]
                 elif cid == b"data":

@@ -419,6 +419,36 @@ def apply_model_flat_io(params, xf, t, cfg: ModelConfig):
                                   cfg)
 
 
+def flat_io_adapters(cfg: ModelConfig):
+    """(to_flat, from_flat, noise_builder) for the flat-io sampling state —
+    the ONE definition of the carried-layout contract (runner, bench, and
+    tests must all agree on it):
+
+    - to_flat:  [B, C, T, F] fp32 → channel-padded flat [B, T, F·ch0]
+    - from_flat: flat → [B, C, T, F] fp32 (junk lanes dropped)
+    - noise_builder(key, xf): per-step noise drawn CHANNEL-shaped then
+      zero-padded, so real-lane trajectories are bit-identical to the NCHW
+      sampler path (same RNG stream)."""
+    c0, cin, f = cfg.ch[0], cfg.channels, cfg.f_size
+
+    def to_flat(xn):
+        b, _, t, ff = xn.shape
+        xh = jnp.transpose(xn, (0, 2, 3, 1))
+        return jnp.pad(xh, ((0, 0),) * 3 + ((0, c0 - cin),)).reshape(
+            b, t, ff * c0)
+
+    def from_flat(xf):
+        b, t, _ = xf.shape
+        h = xf.reshape(b, t, f, c0)[..., :cin]
+        return jnp.transpose(h, (0, 3, 1, 2)).astype(jnp.float32)
+
+    def noise_builder(key, xf):
+        b, t, _ = xf.shape
+        return to_flat(jax.random.normal(key, (b, cin, t, f), xf.dtype))
+
+    return to_flat, from_flat, noise_builder
+
+
 def _apply_model_flat(params, x, temb_chunks, cfg: ModelConfig):
     """NHWC wrapper around the flat-io core (same contract as the XLA
     branch of apply_model): pad channels → flat → core → slice/transpose."""

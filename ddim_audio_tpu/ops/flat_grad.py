@@ -312,8 +312,6 @@ def _flip_swap(w):
 
 
 def _down_dw_kernel(refs, *, tile_t, r, s, p, n_t):
-    from jax.experimental.pallas import tpu as _pltpu  # noqa: F401
-
     it = iter(refs)
     x_ref, top_ref, bot_ref = next(it), next(it), next(it)
     g_ref = next(it)
@@ -382,14 +380,8 @@ def conv_down_dw_flat(x, gout, *, c_in: int, c_out: int,
     p, s = down_plan(c_in, c_out)
     r = fc_in // s
     t_out = t // 2
-    if tile_t is None:
-        tile_t = 2
-        while (tile_t * 2 <= t_out and t_out % (tile_t * 2) == 0
-               and (tile_t * 2) * r <= 2048
-               and (tile_t * 2) * r * s * x.dtype.itemsize <= (1 << 18)):
-            tile_t *= 2
-    while t_out % tile_t and tile_t > 1:
-        tile_t //= 2
+    tile_t = _pick_tile_t(t_out, r, s, x.dtype.itemsize, tile_t,
+                          m_cap=2048, b_cap=1 << 18)
     n_t = t_out // tile_t
 
     xv = x.reshape(bsz, t * r, s)
@@ -491,14 +483,9 @@ def conv_up_dw_flat(x, gout, *, c_in: int, c_out: int,
     bsz, t, fc_in = x.shape
     q, p_s = up_plan(c_in, c_out)
     r = fc_in // q
-    if tile_t is None:
-        tile_t = 2
-        while (tile_t * 2 <= t and t % (tile_t * 2) == 0
-               and (tile_t * 2) * r <= 2048
-               and (tile_t * 2) * r * p_s * x.dtype.itemsize <= (1 << 18)):
-            tile_t *= 2
-    while t % tile_t and tile_t > 1:
-        tile_t //= 2
+    # bound by P_s (the 2·tile_t·r × P_s cotangent block is the larger one)
+    tile_t = _pick_tile_t(t, r, p_s, x.dtype.itemsize, tile_t,
+                          m_cap=2048, b_cap=1 << 18)
     n_t = t // tile_t
     ht = tile_t // 2
 

@@ -317,14 +317,18 @@ def _conv_kernel(refs, *, tile_t, g, p, fpp, use6, n_t, has_res, has_pre,
         stats_ref[0, 1] = stats_ref[0, 1] + s2
 
 
-def _pick_tile_t(t: int, g: int, p: int, itemsize: int, tile_t=None) -> int:
-    """Largest even tile_t dividing t with block bytes ≲ 512 KB and M ≲ 2048
+def _pick_tile_t(t: int, g: int, p: int, itemsize: int, tile_t=None, *,
+                 m_cap: int | None = None, b_cap: int | None = None) -> int:
+    """Largest even tile_t dividing t with block bytes ≲ b_cap and M ≲ m_cap
     (the nine tap operands can live simultaneously on the Mosaic stack, so
     block size bounds scoped-VMEM pressure). 16-bit storage halves the
-    bytes, so both caps double (measured: bf16 s0 conv 1.57 → 1.43 ms at
-    tile_t 64; tile_t 128 exceeds VMEM)."""
-    m_cap = 2048 if itemsize >= 4 else 4096
-    b_cap = (1 << 19) if itemsize >= 4 else (1 << 20)
+    bytes, so both default caps double (measured: bf16 s0 conv 1.57 →
+    1.43 ms at tile_t 64; tile_t 128 exceeds VMEM). The strided kernels
+    pass their own tighter caps."""
+    if m_cap is None:
+        m_cap = 2048 if itemsize >= 4 else 4096
+    if b_cap is None:
+        b_cap = (1 << 19) if itemsize >= 4 else (1 << 20)
     if tile_t is None:
         tile_t = 2
         while (

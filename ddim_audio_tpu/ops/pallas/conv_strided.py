@@ -187,14 +187,10 @@ def conv_down_flat(x, w2, bias, *, c_in: int, c_out: int | None = None,
     r = fc_in // s
     fc_out = r * p
     t_out = t // 2
-    if tile_t is None:
-        tile_t = 2
-        while (tile_t * 2 <= t_out and t_out % (tile_t * 2) == 0
-               and (tile_t * 2) * r <= 2048
-               and (tile_t * 2) * r * s * x.dtype.itemsize <= (1 << 18)):
-            tile_t *= 2
-    while t_out % tile_t and tile_t > 1:
-        tile_t //= 2
+    from .conv_flat import _pick_tile_t
+
+    tile_t = _pick_tile_t(t_out, r, s, x.dtype.itemsize, tile_t,
+                          m_cap=2048, b_cap=1 << 18)
     if t_out % tile_t or tile_t % 2 or (t_out // 2) % (tile_t // 2):
         raise ValueError(f"T_out={t_out} not tileable by even tile_t={tile_t}")
     n_t = t_out // tile_t
@@ -404,14 +400,11 @@ def conv_up_flat(x, w2, bias, *, c_in: int, c_out: int,
         raise ValueError(f"FC_in={fc_in} not a multiple of Q={q}")
     r = fc_in // q
     fc_out = r * p_s
-    if tile_t is None:
-        tile_t = 2
-        while (tile_t * 2 <= t and t % (tile_t * 2) == 0
-               and (tile_t * 2) * r <= 2048
-               and (tile_t * 2) * r * p_s * x.dtype.itemsize <= (1 << 18)):
-            tile_t *= 2
-    while t % tile_t and tile_t > 1:
-        tile_t //= 2
+    from .conv_flat import _pick_tile_t
+
+    # bound by P_s (the 2·tile_t·r × P_s OUTPUT block is the larger one)
+    tile_t = _pick_tile_t(t, r, p_s, x.dtype.itemsize, tile_t,
+                          m_cap=2048, b_cap=1 << 18)
     if t % tile_t or tile_t % 2 or (t // 2) % (tile_t // 2):
         raise ValueError(f"T={t} not tileable by even tile_t={tile_t}")
     n_t = t // tile_t

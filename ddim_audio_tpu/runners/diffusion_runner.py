@@ -244,15 +244,13 @@ class Diffusion:
 
         return fn
 
-    def _denoise_for(self, batch: int):
-        """Denoise fn for a given batch size. On a multi-device mesh the
-        batch axis is mapped with ``shard_map`` (params replicated) — each
-        device runs the full per-sample model locally, which keeps the
-        Pallas flat kernels valid under data parallelism (GSPMD cannot
-        auto-partition custom calls). Falls back to the plain fn when the
-        batch doesn't divide dp or the mesh also shards time (sp>1 runs
-        the GSPMD/XLA path)."""
-        fn = self._denoise_fn
+    def _wrap_dp(self, fn, batch: int):
+        """Map a denoise fn's batch axis over the mesh with ``shard_map``
+        (params replicated) — each device runs the full per-sample model
+        locally, which keeps the Pallas flat kernels valid under data
+        parallelism (GSPMD cannot auto-partition custom calls). Returns fn
+        unchanged when the batch doesn't divide dp or the mesh also shards
+        time (sp>1 runs the GSPMD/XLA path)."""
         mesh = self.mesh
         if (
             mesh is not None
@@ -267,6 +265,10 @@ class Diffusion:
                 out_specs=P("dp"), check_rep=False,
             )
         return fn
+
+    def _denoise_for(self, batch: int):
+        """NCHW denoise fn for a given batch size (dp-wrapped)."""
+        return self._wrap_dp(self._denoise_fn, batch)
 
     def sample(self):
         args = self.args
@@ -468,7 +470,11 @@ class Diffusion:
         back to [B, C, T, F] inside the chunk (state_to_saved), and eta>0
         noise is drawn channel-shaped then zero-padded so real-lane
         trajectories match the NCHW path bit-for-bit."""
-        from ..models.unet import _supports_full_flat, apply_model_flat_io
+        from ..models.unet import (
+            _supports_full_flat,
+            apply_model_flat_io,
+            flat_io_adapters,
+        )
 
         config = self.config
         cfg = self.eval_cfg
@@ -486,34 +492,12 @@ class Diffusion:
                 self._denoise_for(batch), kind=kind, scan_chunk=scan_chunk)
             return sampler, x, np.asarray
 
-        c0, cin, f = cfg.ch[0], cfg.channels, cfg.f_size
-
-        def to_flat(xn):
-            b, _, t, ff = xn.shape
-            xh = jnp.transpose(xn, (0, 2, 3, 1))
-            xp = jnp.pad(xh, ((0, 0), (0, 0), (0, 0), (0, c0 - cin)))
-            return xp.reshape(b, t, ff * c0)
-
-        def from_flat(xf):
-            b, t, _ = xf.shape
-            h = xf.reshape(b, t, f, c0)[..., :cin]
-            return jnp.transpose(h, (0, 3, 1, 2)).astype(jnp.float32)
-
-        def noise_builder(key, xf):
-            b, t, _ = xf.shape
-            return to_flat(jax.random.normal(key, (b, cin, t, f), xf.dtype))
+        to_flat, from_flat, noise_builder = flat_io_adapters(cfg)
 
         def fn(params, xf, t):
             return apply_model_flat_io(params, xf, t, cfg)
 
-        mesh = self.mesh
-        if (mesh is not None and mesh.shape.get("sp", 1) == 1
-                and batch % mesh.shape["dp"] == 0):
-            from jax.experimental.shard_map import shard_map
-            from jax.sharding import PartitionSpec as P
-
-            fn = shard_map(fn, mesh=mesh, in_specs=(P(), P("dp"), P("dp")),
-                           out_specs=P("dp"), check_rep=False)
+        fn = self._wrap_dp(fn, batch)
         sampler = ScanSampler(
             fn, kind=kind, scan_chunk=scan_chunk,
             state_to_saved=from_flat, noise_builder=noise_builder)
@@ -537,10 +521,13 @@ class Diffusion:
             select_index=select_index,
             key=jax.random.key(args.seed + 1),
             params=params,
-            # fp16 kept-state buffers: halves HBM + device→host transfer —
-            # the dominant cost of --sequence sampling over the remote-TPU
-            # tunnel; exports are 8-bit PNG / PCM WAV, far below fp16 noise
-            buffer_dtype="float16",
+            # fp16 kept-state buffers (sampling.buffer_dtype, default
+            # float16): halves HBM + device→host transfer — the dominant
+            # cost of --sequence sampling over the remote-TPU tunnel;
+            # exports are 8-bit PNG / PCM WAV, far below fp16 noise. Set
+            # sampling.buffer_dtype: float32 for bit-exact kept states.
+            buffer_dtype=getattr(self.config.sampling, "buffer_dtype",
+                                 "float16") or "float16",
         )
 
     # ------------------------------------------------------------------- test

@@ -207,10 +207,13 @@ def build_group_optimizer(group_cfg) -> optax.GradientTransformation:
             norm_ord=getattr(group_cfg, "norm_ord", 2),
         )
     if name == "RMSProp":
-        # torch RMSprop: alpha=0.99, eps added OUTSIDE the sqrt
+        # torch RMSprop: alpha=0.99, eps added OUTSIDE the sqrt; eps comes
+        # from the group config (torch default 1e-8) like every other branch
         return optax.chain(
             *l2_into_grad(),
-            optax.scale_by_rms(decay=0.99, eps=1e-8, eps_in_sqrt=False),
+            optax.scale_by_rms(decay=0.99,
+                               eps=float(getattr(group_cfg, "eps", 1e-8)),
+                               eps_in_sqrt=False),
             optax.scale_by_learning_rate(lr),
         )
     if name == "SGD":

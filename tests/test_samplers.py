@@ -321,22 +321,9 @@ def test_flat_io_sampling_matches_nchw(eta):
     seq = list(range(0, 20, 4))
     x = jax.random.normal(jax.random.key(1), (2, 2, 32, 16), jnp.float32)
     key = jax.random.key(7)
-    c0, cin, f = cfg.ch[0], cfg.channels, cfg.f_size
+    from ddim_audio_tpu.models.unet import flat_io_adapters
 
-    def to_flat(xn):
-        b, _, t, ff = xn.shape
-        xh = jnp.transpose(xn, (0, 2, 3, 1))
-        return jnp.pad(xh, ((0, 0),) * 3 + ((0, c0 - cin),)).reshape(
-            b, t, ff * c0)
-
-    def from_flat(xf):
-        b, t, _ = xf.shape
-        h = xf.reshape(b, t, f, c0)[..., :cin]
-        return jnp.transpose(h, (0, 3, 1, 2)).astype(jnp.float32)
-
-    def noise_builder(k, xf):
-        b, t, _ = xf.shape
-        return to_flat(jax.random.normal(k, (b, cin, t, f), xf.dtype))
+    to_flat, from_flat, noise_builder = flat_io_adapters(cfg)
 
     with pltpu.force_tpu_interpret_mode():
         ref_sampler = ScanSampler(
