@@ -25,10 +25,32 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from .pallas.conv_flat import conv3x3_flat, pack_conv_weights
+from .pallas.conv_flat import conv3x3_flat, flat_period, pack_conv_weights
 
 GROUPS = 8
 EPS = 1e-6
+
+
+def _affine_c_from_sums_p(s1p, s2p, n: int, norm_params, c: int):
+    """Per-channel GroupNorm (scale, shift) [B, C] fp32 from period-folded
+    [B, P] sums (n = elements per group). The group of a lane depends only
+    on lane % C, so the [B, P] fold loses nothing."""
+    b, p = s1p.shape
+    cpg = c // GROUPS
+    s1g = s1p.reshape(b, p // c, GROUPS, cpg).sum(axis=(1, 3))  # [B, G]
+    s2g = s2p.reshape(b, p // c, GROUPS, cpg).sum(axis=(1, 3))
+    mean = s1g / n
+    var = s2g / n - jnp.square(mean)
+    rstd = jax.lax.rsqrt(jnp.maximum(var, 0.0) + EPS)
+    gamma = norm_params["g"].astype(jnp.float32)
+    beta = norm_params.get("b")
+    mean_c = jnp.repeat(mean, cpg, axis=1)  # [B, C]
+    rstd_c = jnp.repeat(rstd, cpg, axis=1)
+    scale_c = rstd_c * gamma[None, :]
+    shift_c = -mean_c * rstd_c * gamma[None, :]
+    if beta is not None:
+        shift_c = shift_c + beta.astype(jnp.float32)[None, :]
+    return scale_c, shift_c
 
 
 def lane_sums(x_flat):
@@ -83,45 +105,67 @@ def resblock_flat(p, x_flat, temb, *, f: int, c: int, tile_t: int | None = None,
                   in_stats=None, want_out_stats: bool = False):
     """p: resblock params; x_flat [B, T, F·C]; temb [B, C].
 
-    in_stats: optional (s1, s2) per-lane sums of x_flat (from the previous
-    block); computed here when absent. Returns out, or (out, out_stats) when
-    want_out_stats. Matches models.unet._resblock_apply."""
-    t = x_flat.shape[1]
+    in_stats: optional (s1, s2) per-lane sums of x_flat from the previous
+    block ([B, P] period-folded) or from a transition kernel ([B, F·C]);
+    computed here when absent. Returns out, or (out, out_stats) when
+    want_out_stats (out_stats in [B, P] form). Matches
+    models.unet._resblock_apply.
+
+    Everything between the entry and exit reshape runs in the kernels' own
+    [B, T·G, P] row view (rows_view=True): XLA materializes the
+    [B, T, F·C] ↔ row-view reshapes around custom calls whenever B > 1
+    (trace-measured: 39 ms of reshape copies per batch-2 forward), and all
+    per-lane affines here are period-invariant so [B, P] patterns suffice."""
+    b, t, fc = x_flat.shape
     dtype = x_flat.dtype
+    pp = flat_period(c)
+    g = fc // pp
+    n = t * f * (c // GROUPS)  # elements per (sample, group)
+    fpp = pp // c
 
     w1 = pack_conv_weights(p["conv1"]["w"], dtype)
     w2 = pack_conv_weights(p["conv2"]["w"], dtype)
-    temb_flat = jnp.tile(temb.astype(jnp.float32), (1, f))
-    bias2_flat = jnp.tile(p["conv2"]["b"].astype(jnp.float32), f)
+    temb_p = jnp.tile(temb.astype(jnp.float32), (1, fpp))  # [B, P]
+    bias2_p = jnp.tile(p["conv2"]["b"].astype(jnp.float32), fpp)
 
+    xv = x_flat.reshape(b, t * g, pp)
     if in_stats is None:
-        in_stats = lane_sums(x_flat)
-    pre1 = _affine_from_sums(*in_stats, t, p["norm1"], f, c)
-    h, h1, h2 = conv3x3_flat(
-        x_flat, w1, c=c, tile_t=tile_t,
-        pre=pre1, pre_silu=True, add=temb_flat, post_silu=True,
-        want_stats=True,
+        xf32 = xv.astype(jnp.float32)
+        in_stats = (jnp.sum(xf32, axis=1),
+                    jnp.einsum("brk,brk->bk", xf32, xf32))  # [B, P]
+    elif in_stats[0].shape[1] == fc and fc != pp:
+        # transition kernels emit [B, F·C] sums — fold to [B, P]
+        in_stats = tuple(s.reshape(b, g, pp).sum(axis=1) for s in in_stats)
+
+    def pre_of(s1p, s2p, norm):
+        sc, sh = _affine_c_from_sums_p(s1p, s2p, n, norm, c)
+        return jnp.tile(sc, (1, fpp)), jnp.tile(sh, (1, fpp))  # [B, P]
+
+    hv, h1, h2 = conv3x3_flat(
+        xv, w1, c=c, f=f, rows_view=True, tile_t=tile_t,
+        pre=pre_of(*in_stats, p["norm1"]), pre_silu=True, add=temb_p,
+        post_silu=True, want_stats=True,
     )
-    pre2 = _affine_from_sums(h1, h2, t, p["norm2"], f, c)
-    s, s1, s2 = conv3x3_flat(
-        h, w2, c=c, tile_t=tile_t,
-        pre=pre2, pre_silu=False, add=bias2_flat, post_silu=True,
-        want_stats=True,
+    sv, s1, s2 = conv3x3_flat(
+        hv, w2, c=c, f=f, rows_view=True, tile_t=tile_t,
+        pre=pre_of(h1, h2, p["norm2"]), pre_silu=False, add=bias2_p,
+        post_silu=True, want_stats=True,
     )
-    scale3, shift3 = _affine_from_sums(s1, s2, t, p["norm3"], f, c)
-    out = (
-        x_flat.astype(jnp.float32)
-        + s.astype(jnp.float32) * scale3[:, None, :]
-        + shift3[:, None, :]
+    scale3, shift3 = _affine_c_from_sums_p(s1, s2, n, p["norm3"], c)
+    scale3_p = jnp.tile(scale3, (1, fpp))[:, None, :]
+    shift3_p = jnp.tile(shift3, (1, fpp))[:, None, :]
+    out_v = (
+        xv.astype(jnp.float32) + sv.astype(jnp.float32) * scale3_p + shift3_p
     ).astype(dtype)
+    out = out_v.reshape(b, t, fc)
     if want_out_stats:
-        # Reductions read the STORAGE-dtype out (a separate fusion): keeping
-        # them on the fp32 expression forces XLA to materialize a full fp32
-        # copy of the stage array between the add and the reductions
-        # (profiled: 0.63 ms per resblock at s0-bf16). Stats from bf16
-        # values deviate ~1e-3 relative — the folded GN affine is far less
-        # sensitive than that (and the fp32 path is unchanged: dtype=fp32).
-        o32 = out.astype(jnp.float32)
-        out_stats = (jnp.sum(o32, axis=1), jnp.einsum("btk,btk->bk", o32, o32))
+        # Reductions read the STORAGE-dtype result (a separate fusion):
+        # keeping them on the fp32 expression forces XLA to materialize a
+        # full fp32 copy of the stage array between the add and the
+        # reductions (profiled: 0.63 ms per resblock at s0-bf16). Stats
+        # from bf16 values deviate ~1e-3 relative — the folded GN affine is
+        # far less sensitive than that (fp32 path unchanged: dtype=fp32).
+        o32 = out_v.astype(jnp.float32)
+        out_stats = (jnp.sum(o32, axis=1), jnp.einsum("brk,brk->bk", o32, o32))
         return out, out_stats
     return out

@@ -138,7 +138,8 @@ def _pack9(w) -> jax.Array:
 
 
 def _conv_kernel(refs, *, tile_t, g, p, fpp, use6, n_t, has_res, has_pre,
-                 pre_silu, has_add, post_silu, want_stats):
+                 pre_periodic, pre_silu, has_add, add_periodic, post_silu,
+                 want_stats):
     it = iter(refs)
     x_ref = next(it)
     top_ref = next(it)
@@ -179,7 +180,10 @@ def _conv_kernel(refs, *, tile_t, g, p, fpp, use6, n_t, has_res, has_pre,
         if not (has_pre or pre_silu):
             return v
         x32 = v.astype(jnp.float32)
-        if has_pre:
+        if has_pre and pre_periodic:
+            # period-invariant [P] affine: plain broadcast, no expander
+            x32 = x32 * pre_ref[0, 0] + pre_ref[0, 1]
+        elif has_pre:
             exp_z = expander(v.shape[0])
             x32 = x32 * jnp.dot(exp_z, pre_ref[0, 0],
                                 preferred_element_type=jnp.float32)
@@ -292,7 +296,9 @@ def _conv_kernel(refs, *, tile_t, g, p, fpp, use6, n_t, has_res, has_pre,
                 )
 
     out = acc
-    if add_ref is not None:
+    if add_ref is not None and add_periodic:
+        out = out + add_ref[0]  # [1, p] broadcast over rows
+    elif add_ref is not None:
         out = out + jnp.dot(expander(m), add_ref[0],
                             preferred_element_type=jnp.float32)
     if post_silu:
@@ -347,7 +353,8 @@ def _pick_tile_t(t: int, g: int, p: int, itemsize: int, tile_t=None, *,
 
 def conv3x3_flat(x, w2, bias_flat=None, *, c: int, tile_t: int | None = None,
                  residual=None, pre=None, pre_silu: bool = False, add=None,
-                 post_silu: bool = False, want_stats: bool = False):
+                 post_silu: bool = False, want_stats: bool = False,
+                 f: int | None = None, rows_view: bool = False):
     """Fused flat conv. x: [B, T, F·C]; w2: packed [9·P, P] weights.
 
     residual: optional [B, T, F·C] tensor summed into the input during the
@@ -362,9 +369,26 @@ def conv3x3_flat(x, w2, bias_flat=None, *, c: int, tile_t: int | None = None,
     want_stats: also return (sum, sum²) of the fp32 output over T per flat
          lane — the next GroupNorm's statistics for free (saves a full HBM
          pass per fused resblock stage). Returns (out, s1 [B, F·C],
-         s2 [B, F·C]) instead of just out."""
-    bsz, t, fc = x.shape
+         s2 [B, F·C]) instead of just out.
+    rows_view: x (and residual) are the kernel's own [B, T·G, P] row view
+         and the result/stats stay in it (stats as [B, P] period-folded
+         sums). Requires f=. Chained kernels should use this: XLA
+         materializes the [B, T, F·C] ↔ [B, T·G, P] reshapes around custom
+         calls whenever B > 1 (trace-measured — 39 ms of reshape copies in
+         a batch-2 forward)."""
     p = flat_period(c)
+    if rows_view:
+        if f is None:
+            raise ValueError("rows_view=True requires f=")
+        bsz, rows, p_in = x.shape
+        if p_in != p:
+            raise ValueError(f"rows view lane dim {p_in} != period {p}")
+        fc = f * c
+        g = fc // p
+        t = rows // g
+    else:
+        bsz, t, fc = x.shape
+        g = fc // p
     if fc % p:
         raise ValueError(f"F·C={fc} is not a multiple of the period {p} (C={c})")
     n_taps = 6 if (p // c >= 2 and x.dtype.itemsize == 4) else 9
@@ -372,7 +396,6 @@ def conv3x3_flat(x, w2, bias_flat=None, *, c: int, tile_t: int | None = None,
         raise ValueError(
             f"packed weight rows {w2.shape[0]} != {n_taps}·P — pack with the"
             f" same dtype as x (pack_conv_weights(w, {x.dtype}))")
-    g = fc // p
     tile_t = _pick_tile_t(t, g, p, x.dtype.itemsize, tile_t)
     if t % tile_t or tile_t % 2:
         raise ValueError(f"T={t} not tileable by even tile_t={tile_t}")
@@ -384,7 +407,8 @@ def conv3x3_flat(x, w2, bias_flat=None, *, c: int, tile_t: int | None = None,
     has_pre = pre is not None
     has_add = add is not None
 
-    xv = x.reshape(bsz, t * g, p)  # free: row-major split of the minor dim
+    # free: row-major split of the minor dim
+    xv = x if rows_view else x.reshape(bsz, t * g, p)
     in_specs = [
         pl.BlockSpec((1, tile_t * g, p), lambda b, i: (b, i, 0),
                      memory_space=pltpu.VMEM),
@@ -400,7 +424,8 @@ def conv3x3_flat(x, w2, bias_flat=None, *, c: int, tile_t: int | None = None,
 
     has_res = residual is not None
     if has_res:
-        rv = residual.reshape(bsz, t * g, p).astype(x.dtype)
+        rv = (residual if rows_view
+              else residual.reshape(bsz, t * g, p)).astype(x.dtype)
         in_specs.extend([
             pl.BlockSpec((1, tile_t * g, p), lambda b, i: (b, i, 0),
                          memory_space=pltpu.VMEM),
@@ -414,37 +439,46 @@ def conv3x3_flat(x, w2, bias_flat=None, *, c: int, tile_t: int | None = None,
         ])
         args.extend([rv, rv, rv])
 
+    pre_periodic = False
     if has_pre:
-        scale, shift = pre  # [FC] or [B, FC] each (GroupNorm is per-sample)
+        # [FC]/[B, FC] per-lane, or the period-invariant [P]/[B, P] form
+        # (per-channel affines repeat every period — no expander matmul)
+        scale, shift = pre
         scale = jnp.asarray(scale, jnp.float32)
         shift = jnp.asarray(shift, jnp.float32)
         if scale.ndim == 1:
             scale, shift = scale[None], shift[None]
-        pre_arr = jnp.stack([scale, shift], axis=1).reshape(-1, 2, g, p)
+        pre_periodic = scale.shape[-1] == p
+        gg = 1 if pre_periodic else g
+        pre_arr = jnp.stack([scale, shift], axis=1).reshape(-1, 2, gg, p)
         pre_pb = pre_arr.shape[0] == bsz and bsz > 1
         pidx = ((lambda b, i: (b, 0, 0, 0)) if pre_pb
                 else (lambda b, i: (0, 0, 0, 0)))
         in_specs.append(
-            pl.BlockSpec((1, 2, g, p), pidx, memory_space=pltpu.VMEM)
+            pl.BlockSpec((1, 2, gg, p), pidx, memory_space=pltpu.VMEM)
         )
         args.append(pre_arr)
+    add_periodic = False
     if has_add:
         add = jnp.asarray(add, jnp.float32)
         if add.ndim == 1:
             add = add[None]
+        add_periodic = add.shape[-1] == p
+        ga = 1 if add_periodic else g
         per_batch = add.shape[0] == bsz and bsz > 1
-        add = add.reshape(-1, g, p)
+        add = add.reshape(-1, ga, p)
         aidx = ((lambda b, i: (b, 0, 0)) if per_batch
                 else (lambda b, i: (0, 0, 0)))
         in_specs.append(
-            pl.BlockSpec((1, g, p), aidx, memory_space=pltpu.VMEM)
+            pl.BlockSpec((1, ga, p), aidx, memory_space=pltpu.VMEM)
         )
         args.append(add)
 
     kern = functools.partial(
         _conv_kernel, tile_t=tile_t, g=g, p=p, fpp=p // c,
         use6=(p // c >= 2 and x.dtype.itemsize == 4), n_t=n_t,
-        has_res=has_res, has_pre=has_pre, pre_silu=pre_silu, has_add=has_add,
+        has_res=has_res, has_pre=has_pre, pre_periodic=pre_periodic,
+        pre_silu=pre_silu, has_add=has_add, add_periodic=add_periodic,
         post_silu=post_silu, want_stats=want_stats,
     )
 
@@ -478,6 +512,10 @@ def conv3x3_flat(x, w2, bias_flat=None, *, c: int, tile_t: int | None = None,
     )(*args)
     if want_stats:
         out, stats = result
+        if rows_view:
+            # period-folded [B, P] sums: the group structure is
+            # per-lane-within-period, so GN folds stay exact
+            return out, stats[:, 0].sum(axis=1), stats[:, 1].sum(axis=1)
         return (out.reshape(bsz, t, fc), stats[:, 0].reshape(bsz, fc),
                 stats[:, 1].reshape(bsz, fc))
-    return result.reshape(bsz, t, fc)
+    return result if rows_view else result.reshape(bsz, t, fc)
