@@ -480,15 +480,23 @@ def _apply_model_flat_core(params, xf, temb_chunks, cfg: ModelConfig):
     temb_iter = iter(temb_chunks)
 
     def run_blocks_flat(stage, hf, f, c, in_stats):
+        # chain the stage's resblocks in the kernels' row view — one
+        # reshape pair per stage visit instead of per block (XLA copies
+        # these reshapes around custom calls when B > 1)
+        from ..ops.pallas.conv_flat import flat_period
+
+        b_, t_, fc_ = hf.shape
+        g_ = fc_ // flat_period(c)
+        hv = hf.reshape(b_, t_ * g_, flat_period(c))
         stats = in_stats
         for k, block in enumerate(stage["blocks"]):
             last = k == len(stage["blocks"]) - 1
             res = resblock_flat(
-                block, hf, next(temb_iter), f=f, c=c,
-                in_stats=stats, want_out_stats=not last,
+                block, hv, next(temb_iter), f=f, c=c,
+                in_stats=stats, want_out_stats=not last, rows_io=True,
             )
-            hf, stats = res if not last else (res, None)
-        return hf
+            hv, stats = res if not last else (res, None)
+        return hv.reshape(b_, t_, fc_)
 
     # Head conv as a flat kernel: the XLA NHWC conv pays a C=2→128 lane
     # padding tax (~10 ms at sampling scale); the input arrives channel-

@@ -102,8 +102,11 @@ def gn_affine_flat(x_flat, norm_params, f: int, c: int):
 
 
 def resblock_flat(p, x_flat, temb, *, f: int, c: int, tile_t: int | None = None,
-                  in_stats=None, want_out_stats: bool = False):
-    """p: resblock params; x_flat [B, T, F·C]; temb [B, C].
+                  in_stats=None, want_out_stats: bool = False,
+                  rows_io: bool = False):
+    """p: resblock params; x_flat [B, T, F·C] (or the [B, T·G, P] row view
+    when rows_io=True — stage chains should pass rows to skip per-block
+    reshapes); temb [B, C].
 
     in_stats: optional (s1, s2) per-lane sums of x_flat from the previous
     block ([B, P] period-folded) or from a transition kernel ([B, F·C]);
@@ -116,10 +119,17 @@ def resblock_flat(p, x_flat, temb, *, f: int, c: int, tile_t: int | None = None,
     [B, T, F·C] ↔ row-view reshapes around custom calls whenever B > 1
     (trace-measured: 39 ms of reshape copies per batch-2 forward), and all
     per-lane affines here are period-invariant so [B, P] patterns suffice."""
-    b, t, fc = x_flat.shape
     dtype = x_flat.dtype
     pp = flat_period(c)
+    fc = f * c
     g = fc // pp
+    if rows_io:
+        b, rows, _ = x_flat.shape
+        t = rows // g
+        xv = x_flat
+    else:
+        b, t, _ = x_flat.shape
+        xv = x_flat.reshape(b, t * g, pp)
     n = t * f * (c // GROUPS)  # elements per (sample, group)
     fpp = pp // c
 
@@ -127,8 +137,6 @@ def resblock_flat(p, x_flat, temb, *, f: int, c: int, tile_t: int | None = None,
     w2 = pack_conv_weights(p["conv2"]["w"], dtype)
     temb_p = jnp.tile(temb.astype(jnp.float32), (1, fpp))  # [B, P]
     bias2_p = jnp.tile(p["conv2"]["b"].astype(jnp.float32), fpp)
-
-    xv = x_flat.reshape(b, t * g, pp)
     if in_stats is None:
         xf32 = xv.astype(jnp.float32)
         in_stats = (jnp.sum(xf32, axis=1),
@@ -157,7 +165,7 @@ def resblock_flat(p, x_flat, temb, *, f: int, c: int, tile_t: int | None = None,
     out_v = (
         xv.astype(jnp.float32) + sv.astype(jnp.float32) * scale3_p + shift3_p
     ).astype(dtype)
-    out = out_v.reshape(b, t, fc)
+    out = out_v if rows_io else out_v.reshape(b, t, fc)
     if want_out_stats:
         # Reductions read the STORAGE-dtype result (a separate fusion):
         # keeping them on the fp32 expression forces XLA to materialize a
