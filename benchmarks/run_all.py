@@ -120,12 +120,18 @@ def main():
         key=jax.random.key(3), params=params, buffer_dtype="float16",
     )
     t0 = time.time()
+    timings = {}
     xs, x0s = sampler.sample(
         x, seq100, sched, eta=0.0, select_index=select,
         key=jax.random.key(3), params=params, buffer_dtype="float16",
+        timings=timings,
     )
     assert len(x0s) == 10
     emit("row3_sequence10_trajectory_100step", time.time() - t0)
+    # split: compute vs tunnel transfer (drain), so axon-tunnel transfer
+    # variance can't mask compute regressions (and vice versa)
+    emit("row3_compute_component", timings["compute_s"])
+    emit("row3_transfer_component", timings["drain_s"])
 
     # --- row 4: ddpm eta=1, 1000 steps, batch 2 (last only) ---------------
     ddpm = ScanSampler(denoise, kind="ddpm_noisy", scan_chunk=100,

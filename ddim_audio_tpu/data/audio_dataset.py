@@ -64,7 +64,10 @@ def audio_length(path: str, target_samplerate: int) -> int | None:
             frames = data_bytes // block_align
             if sr == target_samplerate:
                 return frames
-            return int(round(frames * target_samplerate / sr))
+            # half-up, matching native/audio_io.cpp resample_linear's
+            # (long long)(x + 0.5) — int(round()) banker's rounding would
+            # disagree on exact .5 ties and shift the window count
+            return int(frames * target_samplerate / sr + 0.5)
     except Exception:
         return None
 

@@ -63,11 +63,12 @@ class ModelConfig:
     # train step needs ~25 GB of HLO temps without it vs ~16 GB of HBM on a
     # v5e chip (jax.checkpoint trades ~30% flops for activation memory).
     remat: bool = True
-    # Resblock conv implementation for inference: "auto" uses the fused
-    # flat-layout Pallas kernels (ops/flat_resblock.py) on TPU for stages
-    # whose channel count divides 128 (XLA lane-pads those 2-4×); "xla"
-    # forces lax convs everywhere. Training always uses XLA convs (the
-    # Pallas path is forward-only).
+    # Resblock conv implementation: "auto" uses the fused flat-layout
+    # Pallas kernels (ops/flat_resblock.py) on TPU — XLA lane-pads the
+    # narrow stages 2-4× per byte; "xla" forces lax convs everywhere.
+    # The flat kernels are differentiable (custom VJPs in ops/flat_grad.py,
+    # whole-model grads parity-tested vs XLA), so "auto" applies to both
+    # sampling and training.
     conv_impl: str = "auto"
 
     @classmethod
@@ -519,8 +520,18 @@ def _apply_model_flat_core(params, xf, temb_chunks, cfg: ModelConfig):
     hidden = []
     hidden.append(hf)
     prev = None
-    for stage, c in zip(params["down_modules"]["stages"], cfg.ch):
-        stats = (hs1, hs2)  # stage 0: head conv emitted its own GN stats
+    stats = (hs1, hs2)  # stage 0 seeds its GN stats from the head conv
+    for i, (stage, c) in enumerate(
+        zip(params["down_modules"]["stages"], cfg.ch)
+    ):
+        if i > 0 and "down" not in stage:
+            # stats would be stale (previous stage's exit stats are for a
+            # different width); init_model always emits 'down' for i > 0 —
+            # fail loudly if a future architecture change breaks that.
+            raise NotImplementedError(
+                "flat path: stage > 0 without a 'down' transition has no "
+                "fused GroupNorm-stats source"
+            )
         if "down" in stage:
             w2 = pack_down_weights(stage["down"]["w"], compute_dtype)
             hf, s1, s2 = conv_down_flat(

@@ -540,7 +540,7 @@ def _down_op(c_in: int, c_out: int):
     def bwd(res, g):
         x, w = res
         dx = conv_up_flat(
-            g, pack_up_weights(_flip_swap(w).astype(g.dtype)),
+            g, pack_up_weights(_flip_swap(w), g.dtype),
             jnp.zeros((c_in,), jnp.float32), c_in=c_out, c_out=c_in)
         dw12 = conv_down_dw_flat(x, g, c_in=c_in, c_out=c_out)
         _, unpack = jax.vjp(
@@ -574,7 +574,7 @@ def _up_op(c_in: int, c_out: int):
     def bwd(res, g):
         x, w = res
         dx = conv_down_flat(
-            g, pack_down_weights(_flip_swap(w).astype(g.dtype)),
+            g, pack_down_weights(_flip_swap(w), g.dtype),
             jnp.zeros((c_in,), jnp.float32), c_in=c_out, c_out=c_in)
         dw12 = conv_up_dw_flat(x, g, c_in=c_in, c_out=c_out)
         _, unpack = jax.vjp(

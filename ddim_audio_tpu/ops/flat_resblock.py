@@ -16,8 +16,9 @@ executed as two fused Pallas conv kernels plus cheap XLA glue:
    the NEXT block's GN1 statistics are reduced in that same fused pass.
 
 Blocks therefore chain through ``(out, out_stats)``; only the first block of
-a stage computes its input statistics explicitly. Forward-only (the sampling
-hot path); training keeps the XLA resblock.
+a stage computes its input statistics explicitly. The kernels carry custom
+VJPs (ops/flat_grad.py) so this path serves both the sampling hot loop and
+training (whole-model grads are parity-tested against the XLA resblock).
 """
 
 from __future__ import annotations

@@ -197,8 +197,6 @@ def _apply_model_sp_local(params, x, t, cfg: ModelConfig):
 def apply_model_sp(params, x, t, cfg: ModelConfig, mesh):
     """Sequence-parallel forward: x [B, C, T, F] sharded over T across the
     mesh's ``sp`` axis. T must divide evenly into sp × total-stride blocks."""
-    from jax.experimental.shard_map import shard_map
-
     sp = mesh.shape[SP_AXIS]
     stride_total = 2 ** (len(cfg.ch) - 1)
     if x.shape[2] % (sp * stride_total) != 0:
@@ -207,11 +205,11 @@ def apply_model_sp(params, x, t, cfg: ModelConfig, mesh):
             f"{sp * stride_total}"
         )
 
-    fn = shard_map(
+    fn = jax.shard_map(
         functools.partial(_apply_model_sp_local, cfg=cfg),
         mesh=mesh,
         in_specs=(P(), P(None, None, SP_AXIS, None), P()),
         out_specs=P(None, None, SP_AXIS, None),
-        check_rep=False,
+        check_vma=False,
     )
     return fn(params, x, t)

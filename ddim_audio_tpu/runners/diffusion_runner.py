@@ -131,13 +131,17 @@ class Diffusion:
 
             return loss_impl(apply_fn, p, x0, t, e, alphas)
 
+        val_batches = int(
+            getattr(config.training, "validation_batches", 2) or 2
+        )
+
         def run_validation(step):
             vrng = np.random.default_rng(args.seed + step)
             losses = []
             for bi, (vx, _) in enumerate(batch_iterator(
                 test_dataset, config.training.batch_size, shuffle=False
             )):
-                if bi >= 2:  # bounded cost inside the train loop
+                if bi >= val_batches:  # bounded cost inside the train loop
                     break
                 t = jnp.asarray(
                     vrng.integers(0, self.num_timesteps, size=(vx.shape[0],))
@@ -257,12 +261,11 @@ class Diffusion:
             and mesh.shape.get("sp", 1) == 1
             and batch % mesh.shape["dp"] == 0
         ):
-            from jax.experimental.shard_map import shard_map
             from jax.sharding import PartitionSpec as P
 
-            return shard_map(
+            return jax.shard_map(
                 fn, mesh=mesh, in_specs=(P(), P("dp"), P("dp")),
-                out_specs=P("dp"), check_rep=False,
+                out_specs=P("dp"), check_vma=False,
             )
         return fn
 

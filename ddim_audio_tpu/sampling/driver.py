@@ -208,6 +208,7 @@ class ScanSampler:
         noise_override=None,
         params=None,
         buffer_dtype=None,
+        timings=None,
     ):
         """Full-parity path: returns (xs, x0_preds) as lists of host numpy
         arrays, xs[0] = the input noise (reference functions/denoising.py:17).
@@ -222,7 +223,19 @@ class ScanSampler:
         Device→host fetches of chunk i overlap chunk i+1's compute: the next
         chunk is dispatched (async) and each buffer's transfer is started
         with ``copy_to_host_async`` before the previous chunk's results are
-        materialized."""
+        materialized.
+
+        timings: optional dict; when given, filled with ``compute_s`` (wall
+        time until all chunk programs have executed, synced via a 1-element
+        host fetch of the final x — the axon tunnel can return early from
+        block_until_ready, so a host fetch is the only reliable sync) and
+        ``drain_s`` (remaining time spent materializing the final kept-state
+        buffers on host). Benchmarks use the split so tunnel-transfer
+        variance can't mask compute regressions; intermediate drains that
+        overlap later chunks' compute are attributed to compute_s."""
+        import time as _time
+
+        t_start = _time.perf_counter()
         coeffs = self._coeff_arrays(schedule, seq, eta)
         K = len(coeffs[0])
         sel = selected_steps(K, select_index)
@@ -277,8 +290,15 @@ class ScanSampler:
             if pending is not None:
                 drain(pending)  # overlaps with the chunk dispatched above
             pending = (x0_buf, xt_buf)
+        if timings is not None:
+            float(x[(0,) * x.ndim])  # 1-element host fetch: compute done
+            timings["compute_s"] = _time.perf_counter() - t_start
         if pending is not None:
             drain(pending)
+        if timings is not None:
+            timings["drain_s"] = (
+                _time.perf_counter() - t_start - timings["compute_s"]
+            )
         return xs, x0_preds
 
     def _needs_noise(self, eta):
