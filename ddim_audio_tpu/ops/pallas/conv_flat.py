@@ -67,6 +67,15 @@ def supports_flat(c: int, f: int, hw: bool = True) -> bool:
     return (f * c) % p == 0 and (not hw or ((f * c) // p) % 4 == 0)
 
 
+def supports_flat_int8(c: int, f: int, hw: bool = True) -> bool:
+    # int8 HBM arrays tile at (32, 128): the 2·G-sublane halo blocks must be
+    # 32-row aligned, so G % 16 == 0. True for the four widest-traffic
+    # audio.yml stages (C=32/64/96/128 → G = 64/64/16/32); the two deepest
+    # (C=192/256 → G = 8) carry <2% of the forward's bytes and stay bf16.
+    g = (f * c) // flat_period(c)
+    return supports_flat(c, f, hw=hw) and (not hw or g % 16 == 0)
+
+
 def pack_conv_weights(w, dtype=jnp.float32) -> jax.Array:
     """w [3, 3, C, C] (HWIO) → packed MXU tap blocks, P = lcm(C, 128).
 
@@ -139,17 +148,24 @@ def _pack9(w) -> jax.Array:
 
 def _conv_kernel(refs, *, tile_t, g, p, fpp, use6, n_t, has_res, has_pre,
                  pre_periodic, pre_silu, has_add, add_periodic, post_silu,
-                 want_stats):
+                 want_stats, in_q, res_q, quant_out):
     it = iter(refs)
     x_ref = next(it)
     top_ref = next(it)
     bot_ref = next(it)
+    # per-tile dequant scales of the int8 input: the whole [1, 1, n_t] row
+    # sits in SMEM; the 2-time-row halo pieces always lie inside ONE
+    # neighbour tile (tile_t is even), so each assembly piece dequantizes
+    # with one dynamically-indexed scalar (prev/cur/next tile)
+    in_s_ref = next(it) if in_q else None
     w_ref = next(it)
     if has_res:
         rm_ref, rt_ref, rb_ref = next(it), next(it), next(it)
+    res_s_ref = next(it) if res_q else None
     pre_ref = next(it) if has_pre else None
     add_ref = next(it) if has_add else None
     out_ref = next(it)
+    out_s_ref = next(it) if quant_out else None
     stats_ref = next(it) if want_stats else None
     scratch = next(it)
     lo_scr = next(it)
@@ -174,11 +190,15 @@ def _conv_kernel(refs, *, tile_t, g, p, fpp, use6, n_t, has_res, has_pre,
     # piece-local expander is period-aligned.) T-boundary halos are zeroed
     # after (the reference pads AFTER norm/SiLU, so pad rows are zero
     # post-prologue).
-    def prep(v, res_v):
+    def prep(v, res_v, s_in=None, s_res=None):
+        if in_q:
+            v = v.astype(jnp.float32) * s_in  # dequant folds into the pass
         if res_v is not None:
+            if res_q:
+                res_v = res_v.astype(jnp.float32) * s_res
             v = v + res_v
         if not (has_pre or pre_silu):
-            return v
+            return v.astype(scratch.dtype) if in_q or res_q else v
         x32 = v.astype(jnp.float32)
         if has_pre and pre_periodic:
             # period-invariant [P] affine: plain broadcast, no expander
@@ -197,20 +217,34 @@ def _conv_kernel(refs, *, tile_t, g, p, fpp, use6, n_t, has_res, has_pre,
     zero = jnp.zeros((), scratch.dtype)
 
     pieces = (
-        (0, h, top_ref, rt_ref if has_res else None),
-        (h, m, x_ref, rm_ref if has_res else None),
-        (h + m, h, bot_ref, rb_ref if has_res else None),
+        (0, h, top_ref, rt_ref if has_res else None, 0),
+        (h, m, x_ref, rm_ref if has_res else None, 1),
+        (h + m, h, bot_ref, rb_ref if has_res else None, 2),
     )
+
+    if in_q or res_q:
+        piece_idx = (
+            jnp.maximum(i - 1, 0), i, jnp.minimum(i + 1, n_t - 1)
+        )
+
+    def piece_prep(ref, res, k):
+        return prep(
+            ref[0],
+            res[0] if res is not None else None,
+            in_s_ref[0, 0, piece_idx[k]] if in_q else None,
+            res_s_ref[0, 0, piece_idx[k]] if res_q else None,
+        )
+
     if use6:
-        for r0, n, ref, res in pieces:
-            scratch[r0 : r0 + n, :] = prep(ref[0], res[0] if res is not None else None)
+        for r0, n, ref, res, k in pieces:
+            scratch[r0 : r0 + n, :] = piece_prep(ref, res, k)
     else:
         # 9-tap path: the f-boundary masked variants (lo: last-period rows
         # zeroed, hi: first-period rows zeroed) are written DURING assembly
         # from the same registers — two full-scratch read-back passes
         # removed vs masking afterwards.
-        for r0, n, ref, res in pieces:
-            v = prep(ref[0], res[0] if res is not None else None)
+        for r0, n, ref, res, k in pieces:
+            v = piece_prep(ref, res, k)
             gi = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0) % g
             scratch[r0 : r0 + n, :] = v
             lo_scr[r0 : r0 + n, :] = jnp.where(gi == g - 1, zero, v)
@@ -303,7 +337,19 @@ def _conv_kernel(refs, *, tile_t, g, p, fpp, use6, n_t, has_res, has_pre,
                             preferred_element_type=jnp.float32)
     if post_silu:
         out = jax.nn.silu(out)
-    out_ref[0] = out.astype(out_ref.dtype)
+    if quant_out:
+        # symmetric per-tile int8: scale = amax/127 published for the
+        # consumer's dequant prologue (its halo pieces read the neighbour
+        # tiles' scales). Stats below stay pre-quant fp32 — the folded GN
+        # affine is insensitive at quant-noise level.
+        amax = jnp.max(jnp.abs(out))
+        out_s_ref[0, 0, i] = amax * (1.0 / 127.0)
+        inv = 127.0 / jnp.maximum(amax, 1e-30)
+        out_ref[0] = jnp.clip(
+            jnp.round(out * inv), -127.0, 127.0
+        ).astype(jnp.int8)
+    else:
+        out_ref[0] = out.astype(out_ref.dtype)
 
     if stats_ref is not None:
         # per-lane sum / sum² of the fp32 output over the rows of this
@@ -354,7 +400,9 @@ def _pick_tile_t(t: int, g: int, p: int, itemsize: int, tile_t=None, *,
 def conv3x3_flat(x, w2, bias_flat=None, *, c: int, tile_t: int | None = None,
                  residual=None, pre=None, pre_silu: bool = False, add=None,
                  post_silu: bool = False, want_stats: bool = False,
-                 f: int | None = None, rows_view: bool = False):
+                 f: int | None = None, rows_view: bool = False,
+                 in_scales=None, res_scales=None, quant_out: bool = False,
+                 compute_dtype=jnp.bfloat16):
     """Fused flat conv. x: [B, T, F·C]; w2: packed [9·P, P] weights.
 
     residual: optional [B, T, F·C] tensor summed into the input during the
@@ -375,7 +423,20 @@ def conv3x3_flat(x, w2, bias_flat=None, *, c: int, tile_t: int | None = None,
          sums). Requires f=. Chained kernels should use this: XLA
          materializes the [B, T, F·C] ↔ [B, T·G, P] reshapes around custom
          calls whenever B > 1 (trace-measured — 39 ms of reshape copies in
-         a batch-2 forward)."""
+         a batch-2 forward).
+
+    int8 activation storage (HBM traffic is the binding roofline —
+    BASELINE.md): when x is int8, in_scales [B, n_tiles] fp32 holds the
+    per-tile symmetric quant scales published by the producing kernel's
+    quant_out; the consumer's tile grid is forced to match (tile_t =
+    T / n_tiles) so each assembly piece dequantizes with ONE scalar (halo
+    pieces use the neighbour tiles' scales), folded into the existing
+    prologue pass. res_scales does the same for an int8 residual stream.
+    quant_out=True emits (int8 out, [B, n_t] scales) computed from the
+    per-tile amax; conv math runs in compute_dtype (scratch/weights) with
+    fp32 accumulation either way — int8 is storage, not arithmetic
+    (requires 16 | G on real TPUs: int8 HBM tiles are 32×128 and the halo
+    blocks are 2·G rows — see supports_flat_int8)."""
     p = flat_period(c)
     if rows_view:
         if f is None:
@@ -391,15 +452,30 @@ def conv3x3_flat(x, w2, bias_flat=None, *, c: int, tile_t: int | None = None,
         g = fc // p
     if fc % p:
         raise ValueError(f"F·C={fc} is not a multiple of the period {p} (C={c})")
-    n_taps = 6 if (p // c >= 2 and x.dtype.itemsize == 4) else 9
+    in_q = x.dtype == jnp.dtype(jnp.int8)
+    res_q = residual is not None and residual.dtype == jnp.dtype(jnp.int8)
+    if in_q:
+        if in_scales is None:
+            raise ValueError("int8 x requires in_scales [B, n_tiles]")
+        if t % in_scales.shape[1]:
+            raise ValueError(
+                f"T={t} not divisible by n_tiles={in_scales.shape[1]}")
+        tile_t = t // in_scales.shape[1]  # grid must match the producer's
+    if res_q and res_scales is None:
+        raise ValueError("int8 residual requires res_scales [B, n_tiles]")
+    sdtype = jnp.dtype(compute_dtype) if (in_q or res_q) else x.dtype
+    n_taps = 6 if (p // c >= 2 and sdtype.itemsize == 4) else 9
     if w2.shape[0] != n_taps * p:
         raise ValueError(
             f"packed weight rows {w2.shape[0]} != {n_taps}·P — pack with the"
-            f" same dtype as x (pack_conv_weights(w, {x.dtype}))")
-    tile_t = _pick_tile_t(t, g, p, x.dtype.itemsize, tile_t)
+            f" compute dtype (pack_conv_weights(w, {sdtype}))")
+    tile_t = _pick_tile_t(t, g, p, sdtype.itemsize, tile_t)
     if t % tile_t or tile_t % 2:
         raise ValueError(f"T={t} not tileable by even tile_t={tile_t}")
     n_t = t // tile_t
+    if res_q and res_scales.shape[1] != n_t:
+        raise ValueError(
+            f"res_scales tiles {res_scales.shape[1]} != grid tiles {n_t}")
     ht = tile_t // 2  # halo block stride in 2-time-row units
 
     if add is None and bias_flat is not None:
@@ -418,14 +494,25 @@ def conv3x3_flat(x, w2, bias_flat=None, *, c: int, tile_t: int | None = None,
         pl.BlockSpec((1, 2 * g, p),
                      lambda b, i: (b, jnp.minimum((i + 1) * ht, t // 2 - 1), 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec(memory_space=pltpu.VMEM),  # packed weights, resident
     ]
-    args = [xv, xv, xv, w2]
+    args = [xv, xv, xv]
+
+    # whole per-tile scale rows live in SMEM (n_t fp32 scalars — ≤2 KB);
+    # the kernel indexes prev/cur/next dynamically, edge clamps are
+    # harmless (the t-boundary halo pieces are zeroed)
+    scale_spec = pl.BlockSpec((1, 1, n_t), lambda b, i: (b, 0, 0),
+                              memory_space=pltpu.SMEM)
+    if in_q:
+        in_specs.append(scale_spec)
+        args.append(jnp.asarray(in_scales, jnp.float32)[:, None, :])
+    in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))  # weights, resident
+    args.append(w2)
 
     has_res = residual is not None
     if has_res:
-        rv = (residual if rows_view
-              else residual.reshape(bsz, t * g, p)).astype(x.dtype)
+        rv = residual if rows_view else residual.reshape(bsz, t * g, p)
+        if not res_q:
+            rv = rv.astype(sdtype)
         in_specs.extend([
             pl.BlockSpec((1, tile_t * g, p), lambda b, i: (b, i, 0),
                          memory_space=pltpu.VMEM),
@@ -438,6 +525,9 @@ def conv3x3_flat(x, w2, bias_flat=None, *, c: int, tile_t: int | None = None,
                          memory_space=pltpu.VMEM),
         ])
         args.extend([rv, rv, rv])
+    if res_q:
+        in_specs.append(scale_spec)
+        args.append(jnp.asarray(res_scales, jnp.float32)[:, None, :])
 
     pre_periodic = False
     if has_pre:
@@ -476,46 +566,58 @@ def conv3x3_flat(x, w2, bias_flat=None, *, c: int, tile_t: int | None = None,
 
     kern = functools.partial(
         _conv_kernel, tile_t=tile_t, g=g, p=p, fpp=p // c,
-        use6=(p // c >= 2 and x.dtype.itemsize == 4), n_t=n_t,
+        use6=(p // c >= 2 and sdtype.itemsize == 4), n_t=n_t,
         has_res=has_res, has_pre=has_pre, pre_periodic=pre_periodic,
         pre_silu=pre_silu, has_add=has_add, add_periodic=add_periodic,
         post_silu=post_silu, want_stats=want_stats,
+        in_q=in_q, res_q=res_q, quant_out=quant_out,
     )
 
-    out_specs = pl.BlockSpec(
+    out_dtype = jnp.int8 if quant_out else (sdtype if in_q else x.dtype)
+    out_specs = [pl.BlockSpec(
         (1, tile_t * g, p), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
-    )
-    out_shape = jax.ShapeDtypeStruct((bsz, t * g, p), x.dtype)
+    )]
+    out_shape = [jax.ShapeDtypeStruct((bsz, t * g, p), out_dtype)]
+    if quant_out:
+        # revisited (b, 0, 0) block: each grid step writes its element,
+        # the full row flushes at the end of the b-row
+        out_specs.append(pl.BlockSpec((1, 1, n_t), lambda b, i: (b, 0, 0),
+                                      memory_space=pltpu.SMEM))
+        out_shape.append(jax.ShapeDtypeStruct((bsz, 1, n_t), jnp.float32))
     if want_stats:
-        out_specs = (
-            out_specs,
-            # index_map revisits (b, 0, 0, 0) for every i → VMEM accumulator
-            pl.BlockSpec((1, 2, g, p), lambda b, i: (b, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-        )
-        out_shape = (
-            out_shape,
-            jax.ShapeDtypeStruct((bsz, 2, g, p), jnp.float32),
-        )
+        # index_map revisits (b, 0, 0, 0) for every i → VMEM accumulator
+        out_specs.append(pl.BlockSpec((1, 2, g, p),
+                                      lambda b, i: (b, 0, 0, 0),
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((bsz, 2, g, p), jnp.float32))
 
     result = pl.pallas_call(
         lambda *refs: kern(refs),
         grid=(bsz, n_t),
         in_specs=in_specs,
-        out_specs=out_specs,
-        out_shape=out_shape,
+        out_specs=tuple(out_specs) if len(out_specs) > 1 else out_specs[0],
+        out_shape=tuple(out_shape) if len(out_shape) > 1 else out_shape[0],
         scratch_shapes=[
-            pltpu.VMEM(((tile_t + 4) * g, p), x.dtype),
-            pltpu.VMEM(((tile_t + 4) * g, p), x.dtype),
-            pltpu.VMEM(((tile_t + 4) * g, p), x.dtype),
+            pltpu.VMEM(((tile_t + 4) * g, p), sdtype),
+            pltpu.VMEM(((tile_t + 4) * g, p), sdtype),
+            pltpu.VMEM(((tile_t + 4) * g, p), sdtype),
         ],
     )(*args)
+    if not isinstance(result, (tuple, list)):
+        result = (result,)
+    out = result[0]
+    rest = []
+    if quant_out:
+        rest.append(result[1][:, 0, :])
     if want_stats:
-        out, stats = result
+        stats = result[-1]
         if rows_view:
             # period-folded [B, P] sums: the group structure is
             # per-lane-within-period, so GN folds stay exact
-            return out, stats[:, 0].sum(axis=1), stats[:, 1].sum(axis=1)
-        return (out.reshape(bsz, t, fc), stats[:, 0].reshape(bsz, fc),
-                stats[:, 1].reshape(bsz, fc))
-    return result if rows_view else result.reshape(bsz, t, fc)
+            rest.extend([stats[:, 0].sum(axis=1), stats[:, 1].sum(axis=1)])
+        else:
+            rest.extend([stats[:, 0].reshape(bsz, fc),
+                         stats[:, 1].reshape(bsz, fc)])
+    if not rows_view:
+        out = out.reshape(bsz, t, fc)
+    return (out, *rest) if rest else out

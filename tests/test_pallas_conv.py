@@ -538,3 +538,103 @@ def test_up_conv_vjp_matches_xla(c_in, c_out, f_in):
                                rtol=1e-4, atol=1e-3)
     np.testing.assert_allclose(np.asarray(got_g[2]), np.asarray(ref_g[2]),
                                rtol=1e-4, atol=1e-3)
+
+
+def test_conv_flat_int8_roundtrip():
+    """int8 activation storage: quant_out publishes per-tile scales; a
+    consumer fed (int8, scales) matches the same conv fed the dequantized
+    fp32 input exactly (dequant is a per-tile scalar multiply), and the
+    producer's quantization error is bounded by the 8-bit step."""
+    from ddim_audio_tpu.ops.pallas.conv_flat import flat_period
+
+    c, f = 32, 8
+    rng = np.random.default_rng(11)
+    B, T = 2, 16
+    p = flat_period(c)
+    g = f * c // p
+    x = rng.standard_normal((B, T, f * c)).astype(np.float32)
+    w = (rng.standard_normal((3, 3, c, c)) * 0.1).astype(np.float32)
+    w2 = pack_conv_weights(jnp.asarray(w))
+    pre = (np.abs(rng.standard_normal(f * c)).astype(np.float32) * 0.3 + 0.7,
+           rng.standard_normal(f * c).astype(np.float32) * 0.1)
+    with pltpu.force_tpu_interpret_mode():
+        q, scales = conv3x3_flat(
+            jnp.asarray(x), w2, c=c, tile_t=4, post_silu=True, quant_out=True)
+        assert q.dtype == jnp.int8 and scales.shape == (B, T // 4)
+        n_t = scales.shape[1]
+        deq = (np.asarray(q, np.float32).reshape(B, n_t, 4 * g, p)
+               * np.asarray(scales)[:, :, None, None]).reshape(B, T, f * c)
+        ref_full = np.asarray(conv3x3_flat(
+            jnp.asarray(x), w2, c=c, tile_t=4, post_silu=True))
+        # quantization error ≤ one step (scale) per tile
+        step = np.asarray(scales).max()
+        assert np.abs(deq - ref_full).max() <= step + 1e-6
+        # consumer: int8 in (fp32 compute) == same conv on dequantized input
+        out_i = conv3x3_flat(
+            q, w2, c=c, in_scales=scales, pre=pre, pre_silu=True,
+            post_silu=True, compute_dtype=jnp.float32)
+        out_ref = conv3x3_flat(
+            jnp.asarray(deq), w2, c=c, tile_t=4, pre=pre, pre_silu=True,
+            post_silu=True)
+    np.testing.assert_allclose(
+        np.asarray(out_i), np.asarray(out_ref), atol=1e-5)
+
+
+def test_conv_flat_int8_chained_with_stats():
+    """Chained int8: quant in AND quant out with fused GN stats — the stats
+    are computed on the pre-quant fp32 output."""
+    c, f = 32, 8
+    rng = np.random.default_rng(12)
+    B, T = 1, 16
+    x = rng.standard_normal((B, T, f * c)).astype(np.float32)
+    w = (rng.standard_normal((3, 3, c, c)) * 0.1).astype(np.float32)
+    w2 = pack_conv_weights(jnp.asarray(w))
+    with pltpu.force_tpu_interpret_mode():
+        q, scales = conv3x3_flat(
+            jnp.asarray(x), w2, c=c, tile_t=4, quant_out=True)
+        q2, sc2, s1, s2 = conv3x3_flat(
+            q, w2, c=c, in_scales=scales, quant_out=True, want_stats=True,
+            compute_dtype=jnp.float32)
+        assert q2.dtype == jnp.int8 and sc2.shape == scales.shape
+        # stats equal the dequantized-input conv's output sums
+        n_t = scales.shape[1]
+        from ddim_audio_tpu.ops.pallas.conv_flat import flat_period
+        p = flat_period(c)
+        g = f * c // p
+        deq = (np.asarray(q, np.float32).reshape(B, n_t, 4 * g, p)
+               * np.asarray(scales)[:, :, None, None]).reshape(B, T, f * c)
+        full = np.asarray(conv3x3_flat(jnp.asarray(deq), w2, c=c, tile_t=4))
+    np.testing.assert_allclose(
+        np.asarray(s1), full.sum(axis=1), rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(s2), (full * full).sum(axis=1), rtol=1e-4, atol=1e-4)
+
+
+def test_conv_flat_int8_residual():
+    """int8 residual stream: conv(deq(x) + deq(skip)) via res_scales."""
+    c, f = 32, 8
+    rng = np.random.default_rng(13)
+    B, T = 2, 16
+    x = rng.standard_normal((B, T, f * c)).astype(np.float32)
+    skip = rng.standard_normal((B, T, f * c)).astype(np.float32)
+    w = (rng.standard_normal((3, 3, c, c)) * 0.1).astype(np.float32)
+    w2 = pack_conv_weights(jnp.asarray(w))
+    with pltpu.force_tpu_interpret_mode():
+        q, qs = conv3x3_flat(jnp.asarray(x), w2, c=c, tile_t=4,
+                             quant_out=True)
+        r, rs = conv3x3_flat(jnp.asarray(skip), w2, c=c, tile_t=4,
+                             quant_out=True)
+        from ddim_audio_tpu.ops.pallas.conv_flat import flat_period
+        p = flat_period(c)
+        g = f * c // p
+        n_t = qs.shape[1]
+
+        def deq(qq, ss):
+            return (np.asarray(qq, np.float32).reshape(B, n_t, 4 * g, p)
+                    * np.asarray(ss)[:, :, None, None]).reshape(B, T, f * c)
+
+        out = conv3x3_flat(q, w2, c=c, in_scales=qs, residual=r,
+                           res_scales=rs, compute_dtype=jnp.float32)
+        ref = conv3x3_flat(jnp.asarray(deq(q, qs) + deq(r, rs)), w2, c=c,
+                           tile_t=4)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
