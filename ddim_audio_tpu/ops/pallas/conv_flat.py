@@ -120,6 +120,25 @@ def pack_conv_weights(w, dtype=jnp.float32) -> jax.Array:
     return w2.astype(dtype)
 
 
+def pack_conv_weights_int8(w):
+    """w [3, 3, C, C] (HWIO) → (int8 [9·P, P] tap blocks, fp32 [P] per-lane
+    dequant scales). Symmetric per-output-channel quantization: output lane
+    fo·C + co dequantizes with s_w[co] (periodic over P), so the scale rides
+    the kernel's per-lane epilogue multiply. Used by the mxu_int8 conv path
+    (int8 × int8 → int32 taps run the MXU at 2× the bf16 rate — measured
+    0.82 vs 1.39 ms for the bare s0 conv; ~8% on the full fused chain,
+    which is VPU-bound — see conv3x3_flat)."""
+    kh, kw, c, co = w.shape
+    assert kh == 3 and kw == 3 and c == co
+    p = flat_period(c)
+    w32 = jnp.asarray(w, jnp.float32)
+    amax = jnp.max(jnp.abs(w32), axis=(0, 1, 2))  # [C] per output channel
+    s_w = jnp.maximum(amax, 1e-30) / 127.0
+    wq = jnp.clip(jnp.round(w32 / s_w[None, None, None, :]), -127.0, 127.0)
+    w2 = _pack9(wq).astype(jnp.int8)
+    return w2, jnp.tile(s_w, p // c)
+
+
 def _pack9(w) -> jax.Array:
     """The fpp == 1 / gradient-accumulator format: [9·P, P] blocks for taps
     (dt, dg) ∈ 3×3 period-row offsets:
@@ -148,7 +167,7 @@ def _pack9(w) -> jax.Array:
 
 def _conv_kernel(refs, *, tile_t, g, p, fpp, use6, n_t, has_res, has_pre,
                  pre_periodic, pre_silu, has_add, add_periodic, post_silu,
-                 want_stats, in_q, res_q, quant_out):
+                 want_stats, in_q, res_q, quant_out, mxu_i8):
     it = iter(refs)
     x_ref = next(it)
     top_ref = next(it)
@@ -159,6 +178,8 @@ def _conv_kernel(refs, *, tile_t, g, p, fpp, use6, n_t, has_res, has_pre,
     # with one dynamically-indexed scalar (prev/cur/next tile)
     in_s_ref = next(it) if in_q else None
     w_ref = next(it)
+    # per-lane fp32 dequant scales of the int8 tap weights (mxu_int8)
+    wsc_ref = next(it) if mxu_i8 else None
     if has_res:
         rm_ref, rt_ref, rb_ref = next(it), next(it), next(it)
     res_s_ref = next(it) if res_q else None
@@ -170,6 +191,9 @@ def _conv_kernel(refs, *, tile_t, g, p, fpp, use6, n_t, has_res, has_pre,
     scratch = next(it)
     lo_scr = next(it)
     hi_scr = next(it)
+    # mxu_i8 taps read int8: the unmasked requant buffer lives separately
+    # from the (bf16) staging scratch; lo/hi above are int8 in that mode
+    mid_q = next(it) if mxu_i8 else None
 
     i = pl.program_id(1)
     m = tile_t * g
@@ -198,7 +222,9 @@ def _conv_kernel(refs, *, tile_t, g, p, fpp, use6, n_t, has_res, has_pre,
                 res_v = res_v.astype(jnp.float32) * s_res
             v = v + res_v
         if not (has_pre or pre_silu):
-            return v.astype(scratch.dtype) if in_q or res_q else v
+            # always land in the staging dtype (fp32 for mxu_i8; a no-op
+            # cast when the scratch matches the stream dtype)
+            return v.astype(scratch.dtype)
         x32 = v.astype(jnp.float32)
         if has_pre and pre_periodic:
             # period-invariant [P] affine: plain broadcast, no expander
@@ -235,9 +261,18 @@ def _conv_kernel(refs, *, tile_t, g, p, fpp, use6, n_t, has_res, has_pre,
             res_s_ref[0, 0, piece_idx[k]] if res_q else None,
         )
 
-    if use6:
+    if use6 or mxu_i8:
+        # mxu_i8 stages the prologue output unmasked in bf16 (the int8
+        # requant below dwarfs bf16 rounding) with the tile amax
+        # accumulated from the registers DURING assembly — no separate
+        # amax read pass; the f-boundary masks are applied during the
+        # requant store below.
+        am = jnp.zeros((), jnp.float32)
         for r0, n, ref, res, k in pieces:
-            scratch[r0 : r0 + n, :] = piece_prep(ref, res, k)
+            v = piece_prep(ref, res, k)
+            scratch[r0 : r0 + n, :] = v
+            if mxu_i8:
+                am = jnp.maximum(am, jnp.max(jnp.abs(v.astype(jnp.float32))))
     else:
         # 9-tap path: the f-boundary masked variants (lo: last-period rows
         # zeroed, hi: first-period rows zeroed) are written DURING assembly
@@ -253,18 +288,38 @@ def _conv_kernel(refs, *, tile_t, g, p, fpp, use6, n_t, has_res, has_pre,
     @pl.when(i == 0)
     def _():
         scratch[0:h, :] = jnp.zeros((h, p), scratch.dtype)
-        if not use6:
+        if not (use6 or mxu_i8):
             lo_scr[0:h, :] = jnp.zeros((h, p), scratch.dtype)
             hi_scr[0:h, :] = jnp.zeros((h, p), scratch.dtype)
 
     @pl.when(i == n_t - 1)
     def _():
         scratch[h + m :, :] = jnp.zeros((h, p), scratch.dtype)
-        if not use6:
+        if not (use6 or mxu_i8):
             lo_scr[h + m :, :] = jnp.zeros((h, p), scratch.dtype)
             hi_scr[h + m :, :] = jnp.zeros((h, p), scratch.dtype)
 
-    acc = jnp.zeros((m, p), jnp.float32)
+    if mxu_i8:
+        # Requantize the staged prologue output to a single per-tile
+        # symmetric int8 scale (halo rows included — every tap operand must
+        # share the scale for the int32 accumulate to be rescalable), with
+        # the f-boundary masked variants written in the same pass. The taps
+        # then run int8 × int8 → int32 on the MXU at 2× the bf16 rate.
+        # (am was accumulated over the pre-zeroed t-edge halos too — a
+        # possibly-looser scale there, never a wrong value.)
+        amax_t = jnp.maximum(am, 1e-30)
+        s_q = amax_t * (1.0 / 127.0)
+        v = scratch[:, :].astype(jnp.float32)
+        qv = jnp.clip(jnp.round(v * (127.0 / amax_t)),
+                      -127.0, 127.0).astype(jnp.int8)
+        gi_all = jax.lax.broadcasted_iota(jnp.int32, (nz, 1), 0) % g
+        zero8 = jnp.zeros((), jnp.int8)
+        mid_q[:, :] = qv
+        lo_scr[:, :] = jnp.where(gi_all == g - 1, zero8, qv)
+        hi_scr[:, :] = jnp.where(gi_all == 0, zero8, qv)
+
+    acc = (jnp.zeros((m, p), jnp.int32) if mxu_i8
+           else jnp.zeros((m, p), jnp.float32))
     if use6:
         # 2-view scheme (see pack_conv_weights): build two lane-rotated
         # copies of the stream so each time tap needs 2 full-density
@@ -313,7 +368,10 @@ def _conv_kernel(refs, *, tile_t, g, p, fpp, use6, n_t, has_res, has_pre,
     else:
         # 9-tap path: taps read the pre-masked buffers written during
         # assembly (fpp == 1 always; 16-bit storage at any fpp — see
-        # pack_conv_weights).
+        # pack_conv_weights). mxu_i8 reads the masked int8 requant buffers
+        # and accumulates in int32.
+        acc_t = jnp.int32 if mxu_i8 else jnp.float32
+        mid = mid_q if mxu_i8 else scratch
         for dt in range(3):
             for dg in range(3):
                 delta = (dt - 1) * g + (dg - 1)
@@ -321,15 +379,21 @@ def _conv_kernel(refs, *, tile_t, g, p, fpp, use6, n_t, has_res, has_pre,
                 # period → mask source rows that are a period's LAST row);
                 # dg=2 reads r+1 (mask source rows that are a period's
                 # first).
-                src = (lo_scr, scratch, hi_scr)[dg]
+                src = (lo_scr, mid, hi_scr)[dg]
                 rows = src[h + delta : h + delta + m, :]
                 j = dt * 3 + dg
                 acc = acc + jnp.dot(
                     rows, w_ref[j * p : (j + 1) * p, :],
-                    preferred_element_type=jnp.float32,
+                    preferred_element_type=acc_t,
                 )
 
-    out = acc
+    if mxu_i8:
+        # int32 → fp32 with the combined activation-tile × per-lane weight
+        # scale; every downstream epilogue fusion (add, SiLU, stats,
+        # quant_out) then runs on real-valued outputs as usual.
+        out = acc.astype(jnp.float32) * (s_q * wsc_ref[0])
+    else:
+        out = acc
     if add_ref is not None and add_periodic:
         out = out + add_ref[0]  # [1, p] broadcast over rows
     elif add_ref is not None:
@@ -402,6 +466,7 @@ def conv3x3_flat(x, w2, bias_flat=None, *, c: int, tile_t: int | None = None,
                  post_silu: bool = False, want_stats: bool = False,
                  f: int | None = None, rows_view: bool = False,
                  in_scales=None, res_scales=None, quant_out: bool = False,
+                 mxu_int8: bool = False, w_scale=None,
                  compute_dtype=jnp.bfloat16):
     """Fused flat conv. x: [B, T, F·C]; w2: packed [9·P, P] weights.
 
@@ -434,9 +499,21 @@ def conv3x3_flat(x, w2, bias_flat=None, *, c: int, tile_t: int | None = None,
     prologue pass. res_scales does the same for an int8 residual stream.
     quant_out=True emits (int8 out, [B, n_t] scales) computed from the
     per-tile amax; conv math runs in compute_dtype (scratch/weights) with
-    fp32 accumulation either way — int8 is storage, not arithmetic
-    (requires 16 | G on real TPUs: int8 HBM tiles are 32×128 and the halo
-    blocks are 2·G rows — see supports_flat_int8)."""
+    fp32 accumulation by default — int8 storage alone doesn't change the
+    arithmetic (requires 16 | G on real TPUs: int8 HBM tiles are 32×128
+    and the halo blocks are 2·G rows — see supports_flat_int8).
+
+    mxu_int8=True additionally runs the TAPS in int8: the bf16-staged
+    prologue output is requantized per tile (symmetric, halos included so
+    all tap operands share the scale; the tile amax is accumulated in
+    registers during assembly), and the nine taps run int8 × int8 → int32
+    on the MXU at 2× the bf16 rate. Measured at s0 full-chain: ~8% over
+    the bf16-tap int8-storage kernel — the fused kernel is VPU-bound
+    (assembly + requant), so the MXU saving is mostly hidden; kept as an
+    opt-in for the compute-bound deep stages. Requires int8 packed weights
+    + per-lane w_scale from pack_conv_weights_int8; the int32 accumulator
+    rescales by s_tile · w_scale[lane] before the add/SiLU/stats/quant_out
+    epilogue."""
     p = flat_period(c)
     if rows_view:
         if f is None:
@@ -464,12 +541,23 @@ def conv3x3_flat(x, w2, bias_flat=None, *, c: int, tile_t: int | None = None,
     if res_q and res_scales is None:
         raise ValueError("int8 residual requires res_scales [B, n_tiles]")
     sdtype = jnp.dtype(compute_dtype) if (in_q or res_q) else x.dtype
-    n_taps = 6 if (p // c >= 2 and sdtype.itemsize == 4) else 9
+    if mxu_int8:
+        # int8 MXU arithmetic: bf16 prologue staging, per-tile requant,
+        # int8 tap buffers; the bf16 tile caps balance VMEM pressure.
+        if w_scale is None:
+            raise ValueError("mxu_int8 requires w_scale [P] "
+                             "(pack_conv_weights_int8)")
+        if w2.dtype != jnp.dtype(jnp.int8):
+            raise ValueError("mxu_int8 requires int8 packed weights")
+        n_taps = 9
+    else:
+        n_taps = 6 if (p // c >= 2 and sdtype.itemsize == 4) else 9
+    stage_dt = jnp.dtype(jnp.bfloat16) if mxu_int8 else sdtype
     if w2.shape[0] != n_taps * p:
         raise ValueError(
             f"packed weight rows {w2.shape[0]} != {n_taps}·P — pack with the"
             f" compute dtype (pack_conv_weights(w, {sdtype}))")
-    tile_t = _pick_tile_t(t, g, p, sdtype.itemsize, tile_t)
+    tile_t = _pick_tile_t(t, g, p, 2 if mxu_int8 else sdtype.itemsize, tile_t)
     if t % tile_t or tile_t % 2:
         raise ValueError(f"T={t} not tileable by even tile_t={tile_t}")
     n_t = t // tile_t
@@ -507,6 +595,10 @@ def conv3x3_flat(x, w2, bias_flat=None, *, c: int, tile_t: int | None = None,
         args.append(jnp.asarray(in_scales, jnp.float32)[:, None, :])
     in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))  # weights, resident
     args.append(w2)
+    if mxu_int8:
+        # per-lane weight dequant scales, resident [1, P] VMEM row
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+        args.append(jnp.asarray(w_scale, jnp.float32)[None, :])
 
     has_res = residual is not None
     if has_res:
@@ -566,11 +658,11 @@ def conv3x3_flat(x, w2, bias_flat=None, *, c: int, tile_t: int | None = None,
 
     kern = functools.partial(
         _conv_kernel, tile_t=tile_t, g=g, p=p, fpp=p // c,
-        use6=(p // c >= 2 and sdtype.itemsize == 4), n_t=n_t,
+        use6=(not mxu_int8 and p // c >= 2 and sdtype.itemsize == 4), n_t=n_t,
         has_res=has_res, has_pre=has_pre, pre_periodic=pre_periodic,
         pre_silu=pre_silu, has_add=has_add, add_periodic=add_periodic,
         post_silu=post_silu, want_stats=want_stats,
-        in_q=in_q, res_q=res_q, quant_out=quant_out,
+        in_q=in_q, res_q=res_q, quant_out=quant_out, mxu_i8=mxu_int8,
     )
 
     out_dtype = jnp.int8 if quant_out else (sdtype if in_q else x.dtype)
@@ -591,17 +683,22 @@ def conv3x3_flat(x, w2, bias_flat=None, *, c: int, tile_t: int | None = None,
                                       memory_space=pltpu.VMEM))
         out_shape.append(jax.ShapeDtypeStruct((bsz, 2, g, p), jnp.float32))
 
+    scratch_shapes = [
+        pltpu.VMEM(((tile_t + 4) * g, p), stage_dt),
+        pltpu.VMEM(((tile_t + 4) * g, p),
+                   jnp.int8 if mxu_int8 else stage_dt),
+        pltpu.VMEM(((tile_t + 4) * g, p),
+                   jnp.int8 if mxu_int8 else stage_dt),
+    ]
+    if mxu_int8:
+        scratch_shapes.append(pltpu.VMEM(((tile_t + 4) * g, p), jnp.int8))
     result = pl.pallas_call(
         lambda *refs: kern(refs),
         grid=(bsz, n_t),
         in_specs=in_specs,
         out_specs=tuple(out_specs) if len(out_specs) > 1 else out_specs[0],
         out_shape=tuple(out_shape) if len(out_shape) > 1 else out_shape[0],
-        scratch_shapes=[
-            pltpu.VMEM(((tile_t + 4) * g, p), sdtype),
-            pltpu.VMEM(((tile_t + 4) * g, p), sdtype),
-            pltpu.VMEM(((tile_t + 4) * g, p), sdtype),
-        ],
+        scratch_shapes=scratch_shapes,
     )(*args)
     if not isinstance(result, (tuple, list)):
         result = (result,)

@@ -638,3 +638,59 @@ def test_conv_flat_int8_residual():
         ref = conv3x3_flat(jnp.asarray(deq(q, qs) + deq(r, rs)), w2, c=c,
                            tile_t=4)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+def test_conv_flat_mxu_int8():
+    """mxu_int8: taps run int8 × int8 → int32 on the MXU (per-tile
+    activation requant in-kernel + per-output-lane weight scales from
+    pack_conv_weights_int8). SNR vs the fp32 kernel is int8-arithmetic
+    bounded; the full production chain shape (int8 in, prologue, quant
+    out, stats) stays consistent with the fp32 reference."""
+    from ddim_audio_tpu.ops.pallas.conv_flat import (
+        flat_period, pack_conv_weights_int8)
+
+    c, f = 32, 8
+    rng = np.random.default_rng(21)
+    B, T = 2, 16
+    p = flat_period(c)
+    g = f * c // p
+    x = rng.standard_normal((B, T, f * c)).astype(np.float32)
+    w = (rng.standard_normal((3, 3, c, c)) * 0.1).astype(np.float32)
+    w2f = pack_conv_weights(jnp.asarray(w), jnp.float32)
+    w2q, wsc = pack_conv_weights_int8(jnp.asarray(w))
+    assert w2q.dtype == jnp.int8 and wsc.shape == (p,)
+    pre = (np.abs(rng.standard_normal(f * c)).astype(np.float32) * 0.5 + 0.5,
+           rng.standard_normal(f * c).astype(np.float32) * 0.1)
+
+    def snr(ref, out):
+        return 10 * np.log10((ref ** 2).mean() / ((out - ref) ** 2).mean())
+
+    with pltpu.force_tpu_interpret_mode():
+        ref = np.asarray(conv3x3_flat(
+            jnp.asarray(x), w2f, c=c, tile_t=4, pre=pre, pre_silu=True,
+            post_silu=True))
+        out = np.asarray(conv3x3_flat(
+            jnp.asarray(x), w2q, c=c, tile_t=4, pre=pre, pre_silu=True,
+            post_silu=True, mxu_int8=True, w_scale=wsc))
+        assert snr(ref, out) > 33, snr(ref, out)
+
+        # full chain: int8 input, prologue, int8 MXU taps, quant_out, stats
+        q, scales = conv3x3_flat(jnp.asarray(x), w2f, c=c, tile_t=4,
+                                 post_silu=True, quant_out=True)
+        o2, sc2, s1, s2 = conv3x3_flat(
+            q, w2q, c=c, in_scales=scales, pre=pre, pre_silu=True,
+            post_silu=True, quant_out=True, want_stats=True,
+            mxu_int8=True, w_scale=wsc)
+        assert o2.dtype == jnp.int8 and sc2.shape == scales.shape
+        n_t = scales.shape[1]
+        deq_in = (np.asarray(q, np.float32).reshape(B, n_t, 4 * g, p)
+                  * np.asarray(scales)[:, :, None, None]).reshape(B, T, f * c)
+        ref2 = np.asarray(conv3x3_flat(
+            jnp.asarray(deq_in), w2f, c=c, tile_t=4, pre=pre, pre_silu=True,
+            post_silu=True))
+        deq2 = (np.asarray(o2, np.float32).reshape(B, n_t, 4 * g, p)
+                * np.asarray(sc2)[:, :, None, None]).reshape(B, T, f * c)
+        assert snr(ref2, deq2) > 28, snr(ref2, deq2)
+        # stats are the pre-quant epilogue sums — loose int8-noise agreement
+        rel = (np.abs(np.asarray(s1) - ref2.sum(axis=1)).max()
+               / (np.abs(ref2.sum(axis=1)).max() + 1e-9))
+        assert rel < 0.05, rel
