@@ -70,6 +70,15 @@ class ModelConfig:
     # whole-model grads parity-tested vs XLA), so "auto" applies to both
     # sampling and training.
     conv_impl: str = "auto"
+    # Activation storage precision for the flat SAMPLING path: "int8" keeps
+    # each stage's resblock chain quantized in HBM with per-tile symmetric
+    # scales (ops/flat_resblock.resblock_flat_int8) — the forward is
+    # HBM-bandwidth-bound (BASELINE.md), so storage precision IS the perf
+    # axis. Conv math stays in cfg.dtype with fp32 accumulation. Applies to
+    # the stages whose geometry meets the int8 HBM tiling (C = 32…128 —
+    # ~98% of the forward's bytes); others stay in cfg.dtype. None = store
+    # activations in cfg.dtype.
+    act_store: str | None = None
 
     @classmethod
     def from_config(cls, config):
@@ -87,6 +96,7 @@ class ModelConfig:
             dtype=resolve_dtype(getattr(m, "dtype", None)),
             transformers=m.transformers,
             conv_impl=getattr(m, "conv_impl", "auto"),
+            act_store=getattr(m, "act_store", None),
         )
 
     def __hash__(self):
@@ -95,7 +105,7 @@ class ModelConfig:
         # collide as jit static args.
         return hash((self.channels, self.f_size, self.ch, self.krn, self.res,
                      self.num_timesteps, str(self.dtype), self.remat,
-                     self.conv_impl,
+                     self.conv_impl, self.act_store,
                      repr(vars(self.transformers)) if self.transformers else ""))
 
     def __eq__(self, other):
@@ -468,8 +478,12 @@ def _apply_model_flat_core(params, xf, temb_chunks, cfg: ModelConfig):
     transition (Pallas kernels); only the tiny bottleneck tokens use XLA's
     dense path. xf: [B, T, F·ch[0]] channel-padded flat, compute dtype;
     returns the same shape/dtype."""
-    from ..ops.flat_resblock import resblock_flat
-    from ..ops.pallas.conv_flat import conv3x3_flat, pack_conv_weights
+    from ..ops.flat_resblock import resblock_flat, resblock_flat_int8
+    from ..ops.pallas.conv_flat import (
+        conv3x3_flat,
+        pack_conv_weights,
+        supports_flat_int8,
+    )
     from ..ops.pallas.conv_strided import (
         conv_down_flat,
         conv_up_flat,
@@ -479,6 +493,7 @@ def _apply_model_flat_core(params, xf, temb_chunks, cfg: ModelConfig):
 
     compute_dtype = cfg.dtype
     temb_iter = iter(temb_chunks)
+    hw = jax.default_backend() == "tpu"
 
     def run_blocks_flat(stage, hf, f, c, in_stats):
         # chain the stage's resblocks in the kernels' row view — one
@@ -490,6 +505,22 @@ def _apply_model_flat_core(params, xf, temb_chunks, cfg: ModelConfig):
         g_ = fc_ // flat_period(c)
         hv = hf.reshape(b_, t_ * g_, flat_period(c))
         stats = in_stats
+        if cfg.act_store == "int8" and supports_flat_int8(c, f, hw=hw):
+            # int8 activation storage through the stage's chain: interior
+            # block outputs live in HBM as int8 + per-tile scales; the
+            # stage entry arrives float from the transition kernel and the
+            # last block's tail emits float for the transition/skip/
+            # bottleneck consumers.
+            scales = None
+            for k, block in enumerate(stage["blocks"]):
+                last = k == len(stage["blocks"]) - 1
+                hv, scales, stats = resblock_flat_int8(
+                    block, hv, next(temb_iter), f=f, c=c,
+                    in_stats=stats, in_scales=scales,
+                    quant_out=not last, want_out_stats=not last,
+                    compute_dtype=compute_dtype,
+                )
+            return hv.reshape(b_, t_, fc_)
         for k, block in enumerate(stage["blocks"]):
             last = k == len(stage["blocks"]) - 1
             res = resblock_flat(

@@ -26,7 +26,12 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from .pallas.conv_flat import conv3x3_flat, flat_period, pack_conv_weights
+from .pallas.conv_flat import (
+    conv3x3_flat,
+    flat_period,
+    pack_conv_weights,
+    residual_affine_flat,
+)
 
 GROUPS = 8
 EPS = 1e-6
@@ -100,6 +105,93 @@ def gn_affine_flat(x_flat, norm_params, f: int, c: int):
     """GroupNorm folded to per-lane (scale, shift) — computes its own stats."""
     s1, s2 = lane_sums(x_flat)
     return _affine_from_sums(s1, s2, x_flat.shape[1], norm_params, f, c)
+
+
+def resblock_flat_int8(p, xv, temb, *, f: int, c: int,
+                       tile_t: int | None = None,
+                       in_stats=None, in_scales=None,
+                       quant_out: bool = False,
+                       want_out_stats: bool = False,
+                       compute_dtype=jnp.bfloat16):
+    """Residual block with int8 ACTIVATION STORAGE over the [B, T·G, P] row
+    view — HBM traffic is the forward's binding roofline (BASELINE.md), and
+    int8 storage halves the bf16 floor again:
+
+    - conv1/conv2 quantize their outputs per tile in the kernel epilogue
+      (quant_out) and dequantize int8 inputs in the assembly pass (conv math
+      stays in compute_dtype with fp32 accumulation — int8 is storage, not
+      arithmetic);
+    - the tail ``x + GN3(s)`` — XLA glue in the float path — runs as ONE
+      fused Pallas pass (residual_affine_flat) that dequantizes both
+      streams, applies the folded GN3 affine, optionally requantizes the
+      result for the next block, and accumulates the next GroupNorm's
+      statistics on the pre-quant fp32 values.
+
+    xv: [B, T·G, P] rows, int8 (with in_scales [B, n_t]) or a float dtype —
+    stage entries arrive float from the transition kernels, interior blocks
+    chain int8. All scale grids share one tile_t (resolved from the first
+    quantizing kernel and threaded through the chain).
+
+    Returns (out, out_scales | None, out_stats | None): out is int8 when
+    quant_out (with its [B, n_t] scales), else compute_dtype; out_stats are
+    the pre-quant fp32 (sum, sum²) in [B, P] period-folded form.
+
+    Reference math accelerated: Residual_Block (models/diffusion.py:12-56);
+    numerics are int8-quantization-bounded vs the float kernels
+    (tests/test_pallas_conv.py, SNR-guarded at full scale on TPU)."""
+    pp = flat_period(c)
+    fc = f * c
+    g = fc // pp
+    b, rows, _ = xv.shape
+    t = rows // g
+    n = t * f * (c // GROUPS)
+    fpp = pp // c
+    if xv.dtype != jnp.dtype(jnp.int8):
+        xv = xv.astype(compute_dtype)  # packed weights are in compute_dtype
+
+    w1 = pack_conv_weights(p["conv1"]["w"], compute_dtype)
+    w2 = pack_conv_weights(p["conv2"]["w"], compute_dtype)
+    temb_p = jnp.tile(temb.astype(jnp.float32), (1, fpp))
+    bias2_p = jnp.tile(p["conv2"]["b"].astype(jnp.float32), fpp)
+    if in_stats is None:
+        if xv.dtype == jnp.dtype(jnp.int8):
+            raise ValueError("int8 input requires in_stats (pre-quant sums)")
+        xf32 = xv.astype(jnp.float32)
+        in_stats = (jnp.sum(xf32, axis=1),
+                    jnp.einsum("brk,brk->bk", xf32, xf32))
+    elif in_stats[0].shape[1] == fc and fc != pp:
+        in_stats = tuple(s.reshape(b, g, pp).sum(axis=1) for s in in_stats)
+
+    def pre_of(s1p, s2p, norm):
+        sc, sh = _affine_c_from_sums_p(s1p, s2p, n, norm, c)
+        return jnp.tile(sc, (1, fpp)), jnp.tile(sh, (1, fpp))
+
+    hv, h_sc, h1, h2 = conv3x3_flat(
+        xv, w1, c=c, f=f, rows_view=True, tile_t=tile_t,
+        in_scales=in_scales,
+        pre=pre_of(*in_stats, p["norm1"]), pre_silu=True, add=temb_p,
+        post_silu=True, want_stats=True, quant_out=True,
+        compute_dtype=compute_dtype,
+    )
+    sv, s_sc, s1, s2 = conv3x3_flat(
+        hv, w2, c=c, f=f, rows_view=True, in_scales=h_sc,
+        pre=pre_of(h1, h2, p["norm2"]), pre_silu=False, add=bias2_p,
+        post_silu=True, want_stats=True, quant_out=True,
+        compute_dtype=compute_dtype,
+    )
+    scale3, shift3 = _affine_c_from_sums_p(s1, s2, n, p["norm3"], c)
+    res = residual_affine_flat(
+        xv, sv, (jnp.tile(scale3, (1, fpp)), jnp.tile(shift3, (1, fpp))),
+        c=c, f=f, x_scales=in_scales, s_scales=s_sc,
+        quant_out=quant_out, want_stats=want_out_stats,
+        out_dtype=compute_dtype,
+    )
+    if not isinstance(res, tuple):
+        res = (res,)
+    out = res[0]
+    out_scales = res[1] if quant_out else None
+    out_stats = tuple(res[-2:]) if want_out_stats else None
+    return out, out_scales, out_stats
 
 
 def resblock_flat(p, x_flat, temb, *, f: int, c: int, tile_t: int | None = None,

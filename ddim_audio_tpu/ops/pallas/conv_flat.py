@@ -172,17 +172,18 @@ def _conv_kernel(refs, *, tile_t, g, p, fpp, use6, n_t, has_res, has_pre,
     x_ref = next(it)
     top_ref = next(it)
     bot_ref = next(it)
-    # per-tile dequant scales of the int8 input: the whole [1, 1, n_t] row
-    # sits in SMEM; the 2-time-row halo pieces always lie inside ONE
+    # per-(tile, lane) dequant scales of the int8 input: three pipelined
+    # (1, 1, P) scale-row blocks (cur / prev / next) matching the main and
+    # halo data blocks — the 2-time-row halo pieces always lie inside ONE
     # neighbour tile (tile_t is even), so each assembly piece dequantizes
-    # with one dynamically-indexed scalar (prev/cur/next tile)
-    in_s_ref = next(it) if in_q else None
+    # with its tile's [P] scale row broadcast over rows
+    in_s = (next(it), next(it), next(it)) if in_q else None
     w_ref = next(it)
     # per-lane fp32 dequant scales of the int8 tap weights (mxu_int8)
     wsc_ref = next(it) if mxu_i8 else None
     if has_res:
         rm_ref, rt_ref, rb_ref = next(it), next(it), next(it)
-    res_s_ref = next(it) if res_q else None
+    res_s = (next(it), next(it), next(it)) if res_q else None
     pre_ref = next(it) if has_pre else None
     add_ref = next(it) if has_add else None
     out_ref = next(it)
@@ -242,23 +243,23 @@ def _conv_kernel(refs, *, tile_t, g, p, fpp, use6, n_t, has_res, has_pre,
     nz = m + 2 * h
     zero = jnp.zeros((), scratch.dtype)
 
+    # piece k = 1 is the main tile (cur scales = slot 0); k = 0/2 are the
+    # top/bottom halos (prev/next scale rows = slots 1/2)
     pieces = (
-        (0, h, top_ref, rt_ref if has_res else None, 0),
-        (h, m, x_ref, rm_ref if has_res else None, 1),
+        (0, h, top_ref, rt_ref if has_res else None, 1),
+        (h, m, x_ref, rm_ref if has_res else None, 0),
         (h + m, h, bot_ref, rb_ref if has_res else None, 2),
     )
 
-    if in_q or res_q:
-        piece_idx = (
-            jnp.maximum(i - 1, 0), i, jnp.minimum(i + 1, n_t - 1)
-        )
-
     def piece_prep(ref, res, k):
+        # scale blocks are (1, 1, 8, P) sublane stripes (Mosaic needs the
+        # last two block dims (8, 128)-aligned); all 8 rows are identical —
+        # row 0 broadcasts over the piece's rows
         return prep(
             ref[0],
             res[0] if res is not None else None,
-            in_s_ref[0, 0, piece_idx[k]] if in_q else None,
-            res_s_ref[0, 0, piece_idx[k]] if res_q else None,
+            in_s[k][0, 0][0:1] if in_q else None,
+            res_s[k][0, 0][0:1] if res_q else None,
         )
 
     if use6 or mxu_i8:
@@ -402,15 +403,17 @@ def _conv_kernel(refs, *, tile_t, g, p, fpp, use6, n_t, has_res, has_pre,
     if post_silu:
         out = jax.nn.silu(out)
     if quant_out:
-        # symmetric per-tile int8: scale = amax/127 published for the
-        # consumer's dequant prologue (its halo pieces read the neighbour
-        # tiles' scales). Stats below stay pre-quant fp32 — the folded GN
-        # affine is insensitive at quant-noise level.
-        amax = jnp.max(jnp.abs(out))
-        out_s_ref[0, 0, i] = amax * (1.0 / 127.0)
-        inv = 127.0 / jnp.maximum(amax, 1e-30)
+        # symmetric per-(tile, lane) int8: scale rows [P] = amax/127 per
+        # lane, published for the consumer's dequant prologue (its halo
+        # pieces read the neighbour tiles' scale rows). Per-lane beats a
+        # per-tile scalar by ~10 dB end-to-end: the residual-stream
+        # channels have very different ranges. Stats below stay pre-quant
+        # fp32 — the folded GN affine is insensitive at quant-noise level.
+        amax = jnp.maximum(jnp.max(jnp.abs(out), axis=0, keepdims=True),
+                           1e-30)  # [1, P]
+        out_s_ref[0, 0] = jnp.broadcast_to(amax * (1.0 / 127.0), (8, p))
         out_ref[0] = jnp.clip(
-            jnp.round(out * inv), -127.0, 127.0
+            jnp.round(out * (127.0 / amax)), -127.0, 127.0
         ).astype(jnp.int8)
     else:
         out_ref[0] = out.astype(out_ref.dtype)
@@ -431,6 +434,168 @@ def _conv_kernel(refs, *, tile_t, g, p, fpp, use6, n_t, has_res, has_pre,
         s2 = jnp.dot(reducer, out * out, preferred_element_type=jnp.float32)
         stats_ref[0, 0] = stats_ref[0, 0] + s1
         stats_ref[0, 1] = stats_ref[0, 1] + s2
+
+
+def _res_affine_kernel(refs, *, g, p, n_t, x_q, s_q, has_aff, quant_out,
+                       want_stats):
+    it = iter(refs)
+    x_ref = next(it)
+    xs_ref = next(it) if x_q else None
+    s_ref = next(it)
+    ss_ref = next(it) if s_q else None
+    aff_ref = next(it) if has_aff else None
+    out_ref = next(it)
+    out_s_ref = next(it) if quant_out else None
+    stats_ref = next(it) if want_stats else None
+
+    i = pl.program_id(1)
+    p = x_ref.shape[-1]
+    v = x_ref[0].astype(jnp.float32)
+    if x_q:
+        v = v * xs_ref[0, 0][0:1]
+    sv = s_ref[0].astype(jnp.float32)
+    if s_q:
+        sv = sv * ss_ref[0, 0][0:1]
+    if has_aff:
+        out = v + sv * aff_ref[0, 0] + aff_ref[0, 1]
+    else:
+        out = v + sv
+
+    if quant_out:
+        amax = jnp.maximum(jnp.max(jnp.abs(out), axis=0, keepdims=True),
+                           1e-30)  # [1, P]
+        out_s_ref[0, 0] = jnp.broadcast_to(amax * (1.0 / 127.0), (8, p))
+        out_ref[0] = jnp.clip(
+            jnp.round(out * (127.0 / amax)), -127.0, 127.0
+        ).astype(jnp.int8)
+    else:
+        out_ref[0] = out.astype(out_ref.dtype)
+
+    if stats_ref is not None:
+        @pl.when(i == 0)
+        def _():
+            stats_ref[0] = jnp.zeros((2, g, p), jnp.float32)
+
+        m = out.shape[0]
+        gi = jax.lax.broadcasted_iota(jnp.int32, (g, m), 0)
+        gj = jax.lax.broadcasted_iota(jnp.int32, (g, m), 1) % g
+        reducer = (gi == gj).astype(jnp.float32)
+        stats_ref[0, 0] = stats_ref[0, 0] + jnp.dot(
+            reducer, out, preferred_element_type=jnp.float32)
+        stats_ref[0, 1] = stats_ref[0, 1] + jnp.dot(
+            reducer, out * out, preferred_element_type=jnp.float32)
+
+
+def residual_affine_flat(x, s, affine=None, *, c: int, f: int,
+                         x_scales=None, s_scales=None,
+                         quant_out: bool = False, want_stats: bool = False,
+                         out_dtype=None, tile_t: int | None = None):
+    """Fused elementwise resblock tail over the [B, T·G, P] row view:
+
+        out = deq(x) + deq(s) · scale + shift
+
+    — the reference residual block's ``input + GN3(h)`` (zero-init GN3,
+    reference models/diffusion.py:25-26,56) as ONE Pallas pass with int8
+    storage on any operand. In the int8 activation-storage regime this is
+    the pass that the XLA tail add cannot do: per-tile symmetric dequant of
+    both streams, per-lane periodic affine, optional per-tile requant of the
+    result (quant_out → (int8 out, [B, n_t] scales)), and the next
+    GroupNorm's (sum, sum²) accumulated on the pre-quant fp32 values.
+
+    x, s: [B, T·G, P] rows (int8 with the matching per-(tile, lane) scale
+    stripes [B, n_t, 8, P], or a float dtype). affine: (scale, shift)
+    per-lane periodic [B, P] fp32 — GN3 folded onto s. All int8 scale rows
+    must share one tile grid (the stage passes one tile_t through its whole
+    kernel chain)."""
+    bsz, rows, p = x.shape
+    g = (f * c) // flat_period(c)
+    if p != flat_period(c) or rows % g:
+        raise ValueError(f"rows view [{rows}, {p}] does not match c={c}, f={f}")
+    t = rows // g
+    x_q = x.dtype == jnp.dtype(jnp.int8)
+    s_q = s.dtype == jnp.dtype(jnp.int8)
+    if x_q and x_scales is None:
+        raise ValueError("int8 x requires x_scales [B, n_tiles]")
+    if s_q and s_scales is None:
+        raise ValueError("int8 s requires s_scales [B, n_tiles]")
+    for sc in (x_scales if x_q else None, s_scales if s_q else None):
+        if sc is not None:
+            if sc.ndim != 4 or sc.shape[2] != 8 or sc.shape[3] != p:
+                raise ValueError(
+                    f"scales must be [B, n_t, 8, {p}] stripes, got {sc.shape}")
+            if t % sc.shape[1]:
+                raise ValueError(
+                    f"T={t} not divisible by n_tiles={sc.shape[1]}")
+            tt = t // sc.shape[1]
+            if tile_t is not None and tile_t != tt:
+                raise ValueError(
+                    f"tile_t={tile_t} inconsistent with scales grid {tt}")
+            tile_t = tt
+    if tile_t is None:
+        tile_t = _pick_tile_t(t, g, p, 2)
+    if t % tile_t:
+        raise ValueError(f"T={t} not tileable by tile_t={tile_t}")
+    n_t = t // tile_t
+
+    if out_dtype is None:
+        out_dtype = s.dtype if not s_q else (x.dtype if not x_q else jnp.bfloat16)
+    out_dtype = jnp.dtype(jnp.int8) if quant_out else jnp.dtype(out_dtype)
+
+    scale_spec = pl.BlockSpec((1, 1, 8, p), lambda b, i: (b, i, 0, 0),
+                              memory_space=pltpu.VMEM)
+    tile_spec = pl.BlockSpec((1, tile_t * g, p), lambda b, i: (b, i, 0),
+                             memory_space=pltpu.VMEM)
+    in_specs, args = [tile_spec], [x]
+    if x_q:
+        in_specs.append(scale_spec)
+        args.append(jnp.asarray(x_scales, jnp.float32))
+    in_specs.append(tile_spec)
+    args.append(s)
+    if s_q:
+        in_specs.append(scale_spec)
+        args.append(jnp.asarray(s_scales, jnp.float32))
+    has_aff = affine is not None
+    if has_aff:
+        sc, sh = affine
+        aff = jnp.stack([jnp.asarray(sc, jnp.float32),
+                         jnp.asarray(sh, jnp.float32)], axis=1)
+        aff = aff.reshape(bsz, 2, 1, p)
+        in_specs.append(pl.BlockSpec((1, 2, 1, p), lambda b, i: (b, 0, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(aff)
+
+    out_specs = [tile_spec]
+    out_shape = [jax.ShapeDtypeStruct((bsz, rows, p), out_dtype)]
+    if quant_out:
+        out_specs.append(scale_spec)
+        out_shape.append(
+            jax.ShapeDtypeStruct((bsz, n_t, 8, p), jnp.float32))
+    if want_stats:
+        out_specs.append(pl.BlockSpec((1, 2, g, p), lambda b, i: (b, 0, 0, 0),
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((bsz, 2, g, p), jnp.float32))
+
+    kern = functools.partial(
+        _res_affine_kernel, g=g, p=p, n_t=n_t, x_q=x_q, s_q=s_q,
+        has_aff=has_aff, quant_out=quant_out, want_stats=want_stats,
+    )
+    result = pl.pallas_call(
+        lambda *refs: kern(refs),
+        grid=(bsz, n_t),
+        in_specs=in_specs,
+        out_specs=tuple(out_specs) if len(out_specs) > 1 else out_specs[0],
+        out_shape=tuple(out_shape) if len(out_shape) > 1 else out_shape[0],
+    )(*args)
+    if not isinstance(result, (tuple, list)):
+        result = (result,)
+    out = result[0]
+    rest = []
+    if quant_out:
+        rest.append(result[1])
+    if want_stats:
+        stats = result[-1]
+        rest.extend([stats[:, 0].sum(axis=1), stats[:, 1].sum(axis=1)])
+    return (out, *rest) if rest else out
 
 
 def _pick_tile_t(t: int, g: int, p: int, itemsize: int, tile_t=None, *,
@@ -491,14 +656,18 @@ def conv3x3_flat(x, w2, bias_flat=None, *, c: int, tile_t: int | None = None,
          a batch-2 forward).
 
     int8 activation storage (HBM traffic is the binding roofline —
-    BASELINE.md): when x is int8, in_scales [B, n_tiles] fp32 holds the
-    per-tile symmetric quant scales published by the producing kernel's
-    quant_out; the consumer's tile grid is forced to match (tile_t =
-    T / n_tiles) so each assembly piece dequantizes with ONE scalar (halo
-    pieces use the neighbour tiles' scales), folded into the existing
-    prologue pass. res_scales does the same for an int8 residual stream.
-    quant_out=True emits (int8 out, [B, n_t] scales) computed from the
-    per-tile amax; conv math runs in compute_dtype (scratch/weights) with
+    BASELINE.md): when x is int8, in_scales [B, n_tiles, 8, P] fp32 holds
+    the per-(tile, lane) symmetric quant scales (8 identical sublane rows —
+    one aligned fp32 HBM tile each, ~0.8% of the int8 payload) published by
+    the producing kernel's quant_out; the consumer's tile grid is forced to
+    match (tile_t = T / n_tiles) so each assembly piece dequantizes with
+    its tile's scale ROW (halo pieces use the neighbour tiles' rows),
+    folded into the existing prologue pass. res_scales does the same for an
+    int8 residual stream. quant_out=True emits (int8 out, [B, n_t, 8, P]
+    scales) from the per-(tile, lane) amax — per-lane scales beat a
+    per-tile scalar by ~10 dB end-to-end since the residual-stream channels
+    have very different ranges; conv math runs in compute_dtype (weights)
+    with
     fp32 accumulation by default — int8 storage alone doesn't change the
     arithmetic (requires 16 | G on real TPUs: int8 HBM tiles are 32×128
     and the halo blocks are 2·G rows — see supports_flat_int8).
@@ -585,14 +754,33 @@ def conv3x3_flat(x, w2, bias_flat=None, *, c: int, tile_t: int | None = None,
     ]
     args = [xv, xv, xv]
 
-    # whole per-tile scale rows live in SMEM (n_t fp32 scalars — ≤2 KB);
-    # the kernel indexes prev/cur/next dynamically, edge clamps are
-    # harmless (the t-boundary halo pieces are zeroed)
-    scale_spec = pl.BlockSpec((1, 1, n_t), lambda b, i: (b, 0, 0),
-                              memory_space=pltpu.SMEM)
+    # per-(tile, lane) scale stripes [B, n_t, 8, P] (8 identical sublane
+    # rows — one fp32 HBM tile each; Mosaic requires (8, 128)-aligned block
+    # minors): three pipelined (1, 1, 8, P) blocks per quantized stream —
+    # cur, prev, next — mirroring the main/halo data blocks; edge clamps
+    # are harmless (the t-boundary halo pieces are zeroed after dequant)
+    def _scale_specs():
+        return [
+            pl.BlockSpec((1, 1, 8, p), lambda b, i: (b, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 8, p),
+                         lambda b, i: (b, jnp.maximum(i - 1, 0), 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 8, p),
+                         lambda b, i: (b, jnp.minimum(i + 1, n_t - 1), 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+
+    def _check_scales(sc, name):
+        if sc.ndim != 4 or sc.shape[2] != 8 or sc.shape[3] != p:
+            raise ValueError(
+                f"{name} must be [B, n_t, 8, {p}] stripes, got {sc.shape}")
+
     if in_q:
-        in_specs.append(scale_spec)
-        args.append(jnp.asarray(in_scales, jnp.float32)[:, None, :])
+        _check_scales(in_scales, "in_scales")
+        in_specs.extend(_scale_specs())
+        sarr = jnp.asarray(in_scales, jnp.float32)
+        args.extend([sarr, sarr, sarr])
     in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))  # weights, resident
     args.append(w2)
     if mxu_int8:
@@ -618,8 +806,10 @@ def conv3x3_flat(x, w2, bias_flat=None, *, c: int, tile_t: int | None = None,
         ])
         args.extend([rv, rv, rv])
     if res_q:
-        in_specs.append(scale_spec)
-        args.append(jnp.asarray(res_scales, jnp.float32)[:, None, :])
+        _check_scales(res_scales, "res_scales")
+        in_specs.extend(_scale_specs())
+        rarr = jnp.asarray(res_scales, jnp.float32)
+        args.extend([rarr, rarr, rarr])
 
     pre_periodic = False
     if has_pre:
@@ -671,11 +861,11 @@ def conv3x3_flat(x, w2, bias_flat=None, *, c: int, tile_t: int | None = None,
     )]
     out_shape = [jax.ShapeDtypeStruct((bsz, t * g, p), out_dtype)]
     if quant_out:
-        # revisited (b, 0, 0) block: each grid step writes its element,
-        # the full row flushes at the end of the b-row
-        out_specs.append(pl.BlockSpec((1, 1, n_t), lambda b, i: (b, 0, 0),
-                                      memory_space=pltpu.SMEM))
-        out_shape.append(jax.ShapeDtypeStruct((bsz, 1, n_t), jnp.float32))
+        # per-grid-step (1, 1, 8, P) scale-stripe store → [B, n_t, 8, P]
+        out_specs.append(pl.BlockSpec((1, 1, 8, p),
+                                      lambda b, i: (b, i, 0, 0),
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((bsz, n_t, 8, p), jnp.float32))
     if want_stats:
         # index_map revisits (b, 0, 0, 0) for every i → VMEM accumulator
         out_specs.append(pl.BlockSpec((1, 2, g, p),
@@ -705,7 +895,7 @@ def conv3x3_flat(x, w2, bias_flat=None, *, c: int, tile_t: int | None = None,
     out = result[0]
     rest = []
     if quant_out:
-        rest.append(result[1][:, 0, :])
+        rest.append(result[1])
     if want_stats:
         stats = result[-1]
         if rows_view:

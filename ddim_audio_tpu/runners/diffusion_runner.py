@@ -56,6 +56,17 @@ class Diffusion:
             )
         else:
             self.eval_cfg = self.model_cfg
+        # sampling.act_store: "int8" stores flat-path stage activations as
+        # int8 + per-tile scales during sampling (the forward is
+        # HBM-bandwidth-bound; storage precision is the perf axis —
+        # BASELINE.md). Inference-only; training numerics are untouched.
+        astore = getattr(config.sampling, "act_store", None)
+        if astore:
+            import dataclasses
+
+            self.eval_cfg = dataclasses.replace(
+                self.eval_cfg, act_store=str(astore)
+            )
         self.schedule = make_schedule(
             config.diffusion.beta_schedule,
             config.diffusion.beta_start,
@@ -64,19 +75,20 @@ class Diffusion:
         )
         self.num_timesteps = self.schedule.num_timesteps
         self.mesh = make_mesh(getattr(config, "parallel", None))
-        if self.mesh is not None:
-            # GSPMD cannot auto-partition Pallas custom calls: the sharded
-            # TRAIN step and the sp>1 sampling path run XLA convs on a
-            # multi-device mesh (dp sampling keeps the flat kernels — each
-            # device runs them locally under shard_map, see _denoise_for).
+        if self.mesh is not None and self.mesh.shape.get("sp", 1) > 1:
+            # GSPMD cannot auto-partition Pallas custom calls, so sp>1
+            # meshes (time-axis sharding splits every conv) run XLA convs.
+            # dp-only meshes keep the flat kernels everywhere: sampling
+            # wraps the denoiser in shard_map (_wrap_dp) and the TRAIN step
+            # computes per-device grads under shard_map + pmean
+            # (training.train_step make_train_step(mesh=)).
             import dataclasses
 
             if self.model_cfg.conv_impl == "auto":
                 self.model_cfg = dataclasses.replace(
                     self.model_cfg, conv_impl="xla"
                 )
-            if (self.mesh.shape.get("sp", 1) > 1
-                    and self.eval_cfg.conv_impl == "auto"):
+            if self.eval_cfg.conv_impl == "auto":
                 self.eval_cfg = dataclasses.replace(
                     self.eval_cfg, conv_impl="xla"
                 )
@@ -98,8 +110,17 @@ class Diffusion:
         state, tx = init_train_state(
             params, config.optimization, use_ema=bool(config.model.ema)
         )
+        # dp-only meshes: per-device grads under shard_map + pmean keeps
+        # the flat Pallas kernels valid (GSPMD can't partition custom
+        # calls); sp>1 meshes use the GSPMD path with XLA convs.
+        dp_mesh = (
+            self.mesh
+            if self.mesh is not None and self.mesh.shape.get("sp", 1) == 1
+            else None
+        )
         train_step = make_train_step(
-            self.model_cfg, config, self.schedule.alphas_cumprod, tx
+            self.model_cfg, config, self.schedule.alphas_cumprod, tx,
+            mesh=dp_mesh,
         )
 
         start_epoch, step = 0, 0

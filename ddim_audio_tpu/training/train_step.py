@@ -68,7 +68,7 @@ def _collect_adabelief_stats(opt_state, out: dict, prefix=""):
     return out
 
 
-def make_train_step(cfg, config, alphas_cumprod, tx):
+def make_train_step(cfg, config, alphas_cumprod, tx, mesh=None):
     """cfg: ModelConfig; config: full audio.yml namespace; returns a jitted
     train_step(state, x0 [B,C,T,F], rng_root) -> (state, metrics).
 
@@ -78,7 +78,17 @@ def make_train_step(cfg, config, alphas_cumprod, tx):
     activation working set shrinks by A. Needed on a single 16 GB v5e chip:
     the fp32 batch-14 backward wants ~24 GB of HLO temps (XLA lane-pads the
     C=32/64 stages 4×), and the reference's batch-14 training config must
-    still run (BASELINE.md)."""
+    still run (BASELINE.md).
+
+    ``mesh`` (dp-only): the gradient computation runs under ``shard_map`` —
+    each device computes its local-microbatch grads with the FULL per-sample
+    model (so the flat Pallas kernels stay valid: GSPMD cannot partition
+    custom calls, and without this every multi-device training run re-pays
+    the 2-4× lane-padding tax the kernels remove), then one ``pmean`` merges
+    them; the optimizer/EMA update happens on replicated values. Microbatch
+    g of device i draws noise from fold_in(e_key, i·A + g), so a dp×A run
+    computes the same gradient as a single-device grad_accum dp·A run.
+    Meshes with sp>1 take the GSPMD path (pass mesh=None)."""
     loss_fn_impl = loss_registry[config.model.type]
     # cfg.num_timesteps is the single source of truth (it sizes the timestep
     # embedding table); config.diffusion must agree with it by construction.
@@ -88,6 +98,13 @@ def make_train_step(cfg, config, alphas_cumprod, tx):
     mu = float(getattr(config.model, "ema_rate", 0.9999))
     grad_accum = int(getattr(config.training, "grad_accum", 1) or 1)
     alphas = jnp.asarray(alphas_cumprod, jnp.float32)
+    dp = None
+    if mesh is not None:
+        if mesh.shape.get("sp", 1) != 1:
+            raise ValueError(
+                "make_train_step(mesh=) is the dp-only shard_map path; "
+                "sp>1 meshes use GSPMD (mesh=None + sharded inputs)")
+        dp = mesh.shape["dp"]
 
     def train_step(state: TrainState, x0, rng_root):
         rng = jax.random.fold_in(rng_root, state.step)
@@ -95,44 +112,85 @@ def make_train_step(cfg, config, alphas_cumprod, tx):
         n = x0.shape[0]
         t = antithetic_timesteps(t_key, n, num_timesteps)
 
-        def apply_fn(p, x, tt):
-            return apply_model(p, x, tt, cfg, train=True, rng=d_key)
+        def accum_folded(params, x0_p, t_p, g0, a_steps):
+            """Mean (loss, grads) over a_steps microbatches of x0_p; micro
+            g draws its noise from fold_in(e_key, g0 + g) and its dropout
+            key from fold_in(d_key, g0 + g) — global microbatch indices, so
+            a dp×A mesh run and a single-device grad_accum dp·A run compute
+            the SAME gradient."""
+            def micro_loss(p, x0_mb, t_mb, e_mb, d_mb):
+                def apply_fn(pp, x, tt):
+                    return apply_model(pp, x, tt, cfg, train=True, rng=d_mb)
 
-        def micro_loss(p, x0_mb, t_mb, e_mb):
-            return loss_fn_impl(apply_fn, p, x0_mb, t_mb, e_mb, alphas)
+                return loss_fn_impl(apply_fn, p, x0_mb, t_mb, e_mb, alphas)
 
-        if grad_accum == 1:
-            e = jax.random.normal(e_key, x0.shape, x0.dtype)
-            loss, grads = jax.value_and_grad(micro_loss)(state.params, x0, t, e)
-        else:
-            if n % grad_accum != 0:
+            m = x0_p.shape[0]
+            if m % a_steps != 0:
                 raise ValueError(
-                    f"batch {n} not divisible by grad_accum {grad_accum}"
-                )
-            mb = n // grad_accum
-            x0_mbs = x0.reshape((grad_accum, mb) + x0.shape[1:])
-            t_mbs = t.reshape(grad_accum, mb)
+                    f"batch {m} not divisible by grad_accum {a_steps}")
+            mb = m // a_steps
+            if a_steps == 1:
+                e = jax.random.normal(
+                    jax.random.fold_in(e_key, g0), x0_p.shape, x0_p.dtype)
+                return jax.value_and_grad(micro_loss)(
+                    params, x0_p, t_p, e, jax.random.fold_in(d_key, g0))
+            x0_mbs = x0_p.reshape((a_steps, mb) + x0_p.shape[1:])
+            t_mbs = t_p.reshape(a_steps, mb)
 
             def body(carry, inp):
                 loss_sum, grad_sum = carry
                 x0_mb, t_mb, i = inp
                 e_mb = jax.random.normal(
-                    jax.random.fold_in(e_key, i), x0_mb.shape, x0_mb.dtype
+                    jax.random.fold_in(e_key, g0 + i), x0_mb.shape, x0_mb.dtype
                 )
                 loss_i, g_i = jax.value_and_grad(micro_loss)(
-                    state.params, x0_mb, t_mb, e_mb
+                    params, x0_mb, t_mb, e_mb,
+                    jax.random.fold_in(d_key, g0 + i),
                 )
                 grad_sum = jax.tree_util.tree_map(jnp.add, grad_sum, g_i)
                 return (loss_sum + loss_i, grad_sum), None
 
-            zero_grads = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+            zero_grads = jax.tree_util.tree_map(jnp.zeros_like, params)
             (loss_sum, grad_sum), _ = jax.lax.scan(
                 body,
                 (jnp.zeros((), jnp.float32), zero_grads),
-                (x0_mbs, t_mbs, jnp.arange(grad_accum, dtype=jnp.uint32)),
+                (x0_mbs, t_mbs, jnp.arange(a_steps, dtype=jnp.uint32)),
             )
-            loss = loss_sum / grad_accum
-            grads = jax.tree_util.tree_map(lambda g: g / grad_accum, grad_sum)
+            return (loss_sum / a_steps,
+                    jax.tree_util.tree_map(lambda g: g / a_steps, grad_sum))
+
+        if dp is not None and n % dp == 0:
+            from jax.sharding import PartitionSpec as P
+
+            def local_fn(params, x0_l, t_l):
+                i = jax.lax.axis_index("dp")
+                loss_l, grads_l = accum_folded(
+                    params, x0_l, t_l,
+                    i.astype(jnp.uint32) * grad_accum, grad_accum,
+                )
+                loss = jax.lax.pmean(loss_l, "dp")
+                grads = jax.lax.pmean(grads_l, "dp")
+                return loss, grads
+
+            loss, grads = jax.shard_map(
+                local_fn, mesh=mesh,
+                in_specs=(P(), P("dp"), P("dp")), out_specs=(P(), P()),
+                check_vma=False,
+            )(state.params, x0, t)
+        elif grad_accum == 1:
+            # single-device fast path: one unfolded global noise draw
+            # (kept bit-identical to rounds 1-2)
+            def apply_fn(p, x, tt):
+                return apply_model(p, x, tt, cfg, train=True, rng=d_key)
+
+            def micro_loss(p, x0_mb, t_mb, e_mb):
+                return loss_fn_impl(apply_fn, p, x0_mb, t_mb, e_mb, alphas)
+
+            e = jax.random.normal(e_key, x0.shape, x0.dtype)
+            loss, grads = jax.value_and_grad(micro_loss)(state.params, x0, t, e)
+        else:
+            loss, grads = accum_folded(
+                state.params, x0, t, jnp.uint32(0), grad_accum)
 
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)

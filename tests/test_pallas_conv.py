@@ -560,10 +560,10 @@ def test_conv_flat_int8_roundtrip():
     with pltpu.force_tpu_interpret_mode():
         q, scales = conv3x3_flat(
             jnp.asarray(x), w2, c=c, tile_t=4, post_silu=True, quant_out=True)
-        assert q.dtype == jnp.int8 and scales.shape == (B, T // 4)
+        assert q.dtype == jnp.int8 and scales.shape == (B, T // 4, 8, p)
         n_t = scales.shape[1]
         deq = (np.asarray(q, np.float32).reshape(B, n_t, 4 * g, p)
-               * np.asarray(scales)[:, :, None, None]).reshape(B, T, f * c)
+               * np.asarray(scales)[:, :, 0:1, :]).reshape(B, T, f * c)
         ref_full = np.asarray(conv3x3_flat(
             jnp.asarray(x), w2, c=c, tile_t=4, post_silu=True))
         # quantization error ≤ one step (scale) per tile
@@ -602,7 +602,7 @@ def test_conv_flat_int8_chained_with_stats():
         p = flat_period(c)
         g = f * c // p
         deq = (np.asarray(q, np.float32).reshape(B, n_t, 4 * g, p)
-               * np.asarray(scales)[:, :, None, None]).reshape(B, T, f * c)
+               * np.asarray(scales)[:, :, 0:1, :]).reshape(B, T, f * c)
         full = np.asarray(conv3x3_flat(jnp.asarray(deq), w2, c=c, tile_t=4))
     np.testing.assert_allclose(
         np.asarray(s1), full.sum(axis=1), rtol=1e-4, atol=1e-4)
@@ -631,7 +631,7 @@ def test_conv_flat_int8_residual():
 
         def deq(qq, ss):
             return (np.asarray(qq, np.float32).reshape(B, n_t, 4 * g, p)
-                    * np.asarray(ss)[:, :, None, None]).reshape(B, T, f * c)
+                    * np.asarray(ss)[:, :, 0:1, :]).reshape(B, T, f * c)
 
         out = conv3x3_flat(q, w2, c=c, in_scales=qs, residual=r,
                            res_scales=rs, compute_dtype=jnp.float32)
@@ -683,14 +683,181 @@ def test_conv_flat_mxu_int8():
         assert o2.dtype == jnp.int8 and sc2.shape == scales.shape
         n_t = scales.shape[1]
         deq_in = (np.asarray(q, np.float32).reshape(B, n_t, 4 * g, p)
-                  * np.asarray(scales)[:, :, None, None]).reshape(B, T, f * c)
+                  * np.asarray(scales)[:, :, 0:1, :]).reshape(B, T, f * c)
         ref2 = np.asarray(conv3x3_flat(
             jnp.asarray(deq_in), w2f, c=c, tile_t=4, pre=pre, pre_silu=True,
             post_silu=True))
         deq2 = (np.asarray(o2, np.float32).reshape(B, n_t, 4 * g, p)
-                * np.asarray(sc2)[:, :, None, None]).reshape(B, T, f * c)
+                * np.asarray(sc2)[:, :, 0:1, :]).reshape(B, T, f * c)
         assert snr(ref2, deq2) > 28, snr(ref2, deq2)
         # stats are the pre-quant epilogue sums — loose int8-noise agreement
         rel = (np.abs(np.asarray(s1) - ref2.sum(axis=1)).max()
                / (np.abs(ref2.sum(axis=1)).max() + 1e-9))
         assert rel < 0.05, rel
+
+
+def test_residual_affine_flat_kernel():
+    """Fused resblock tail: out = deq(x) + deq(s)·scale + shift, with
+    per-tile requant + pre-quant stats — the pass that closes the int8
+    activation-storage chain (the XLA tail add can't dequant/requant
+    per-tile in one pass)."""
+    from ddim_audio_tpu.ops.pallas.conv_flat import (
+        flat_period, residual_affine_flat)
+
+    c, f = 32, 8
+    p = flat_period(c)
+    g = f * c // p
+    rng = np.random.default_rng(30)
+    B, T = 2, 16
+    tile_t = 4
+    n_t = T // tile_t
+    rows = T * g
+
+    def quant(a):
+        a4 = a.reshape(B, n_t, tile_t * g, p)
+        sc = np.abs(a4).max(axis=2, keepdims=True) / 127.0  # [B, n_t, 1, p]
+        q = np.clip(np.round(a4 / sc), -127, 127)
+        stripes = np.broadcast_to(sc, (B, n_t, 8, p)).astype(np.float32)
+        return (q.astype(np.int8).reshape(B, rows, p), stripes,
+                (q * sc).reshape(B, rows, p))
+
+    x = rng.standard_normal((B, rows, p)).astype(np.float32)
+    s = rng.standard_normal((B, rows, p)).astype(np.float32)
+    scale = (0.5 + np.abs(rng.standard_normal((B, p)))).astype(np.float32)
+    shift = (0.1 * rng.standard_normal((B, p))).astype(np.float32)
+    xq, xsc, xdq = quant(x)
+    sq, ssc, sdq = quant(s)
+    ref = xdq + sdq * scale[:, None, :] + shift[:, None, :]
+
+    with pltpu.force_tpu_interpret_mode():
+        # float out + stats
+        out, s1, s2 = residual_affine_flat(
+            jnp.asarray(xq), jnp.asarray(sq),
+            (jnp.asarray(scale), jnp.asarray(shift)),
+            c=c, f=f, x_scales=jnp.asarray(xsc), s_scales=jnp.asarray(ssc),
+            want_stats=True, out_dtype=jnp.float32)
+        np.testing.assert_allclose(np.asarray(out), ref, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(s1), ref.sum(axis=1),
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(s2), (ref * ref).sum(axis=1),
+                                   rtol=1e-4, atol=1e-4)
+        # quant out: dequantized result within one step per tile; stats are
+        # pre-quant
+        q2, sc2, q1s, q2s = residual_affine_flat(
+            jnp.asarray(xq), jnp.asarray(sq),
+            (jnp.asarray(scale), jnp.asarray(shift)),
+            c=c, f=f, x_scales=jnp.asarray(xsc), s_scales=jnp.asarray(ssc),
+            quant_out=True, want_stats=True)
+        assert q2.dtype == jnp.int8 and sc2.shape == (B, n_t, 8, p)
+        deq = (np.asarray(q2, np.float32).reshape(B, n_t, tile_t * g, p)
+               * np.asarray(sc2)[:, :, 0:1, :]).reshape(B, rows, p)
+        assert np.abs(deq - ref).max() <= np.asarray(sc2).max() + 1e-6
+        np.testing.assert_allclose(np.asarray(q1s), ref.sum(axis=1),
+                                   rtol=1e-4, atol=1e-4)
+        # float x + int8 s (stage-entry block shape)
+        out2 = residual_affine_flat(
+            jnp.asarray(x), jnp.asarray(sq),
+            (jnp.asarray(scale), jnp.asarray(shift)),
+            c=c, f=f, s_scales=jnp.asarray(ssc), out_dtype=jnp.float32)
+        ref2 = x + sdq * scale[:, None, :] + shift[:, None, :]
+        np.testing.assert_allclose(np.asarray(out2), ref2, atol=1e-5)
+
+
+def test_resblock_flat_int8_chain_matches_float():
+    """A 2-block int8 activation-storage chain (float entry → int8 interior
+    → float exit) tracks the float resblock chain at int8-quantization
+    noise."""
+    from ddim_audio_tpu.ops.flat_resblock import resblock_flat_int8
+    from ddim_audio_tpu.ops.pallas.conv_flat import flat_period
+
+    rng = np.random.default_rng(31)
+    B, T, F, C = 2, 16, 8, 32
+    p = flat_period(C)
+    g = F * C // p
+    blocks = []
+    for i in range(2):
+        blk = _resblock_init(jax.random.key(i), C, 3, jnp.float32)
+        blk["norm3"]["g"] = jnp.asarray(
+            1.0 + 0.2 * rng.standard_normal(C).astype(np.float32))
+        blocks.append(blk)
+    x = rng.standard_normal((B, T, F, C)).astype(np.float32)
+    tembs = [rng.standard_normal((B, C)).astype(np.float32) for _ in range(2)]
+
+    ref = jnp.asarray(x)
+    for blk, te in zip(blocks, tembs):
+        ref = _resblock_apply(blk, ref, jnp.asarray(te), kernel_size=3)
+    ref = np.asarray(ref)
+
+    with pltpu.force_tpu_interpret_mode():
+        hv = jnp.asarray(x.reshape(B, T, F * C).reshape(B, T * g, p))
+        scales, stats = None, None
+        for k, (blk, te) in enumerate(zip(blocks, tembs)):
+            last = k == 1
+            hv, scales, stats = resblock_flat_int8(
+                blk, hv, jnp.asarray(te), f=F, c=C,
+                in_stats=stats, in_scales=scales,
+                quant_out=not last, want_out_stats=not last,
+                compute_dtype=jnp.float32)
+        out = np.asarray(hv).reshape(B, T, F, C)
+
+    def snr(r, o):
+        return 10 * np.log10((r ** 2).mean() / ((o - r) ** 2).mean())
+
+    assert snr(ref, out) > 35, snr(ref, out)
+
+
+def test_full_model_int8_act_store():
+    """act_store="int8" on the full flat pipeline: end-to-end output tracks
+    the fp32 XLA model at int8-quantization noise."""
+    import dataclasses
+
+    from ddim_audio_tpu.models.unet import (
+        ModelConfig,
+        _supports_full_flat,
+        apply_model,
+        init_model,
+    )
+    from ddim_audio_tpu.utils.namespace import dict2namespace
+
+    transformers = dict2namespace(
+        {
+            "module": "fnet",
+            "kwargs": {
+                "hidden_size": 32,
+                "num_hidden_layers": 2,
+                "intermediate_size": 64,
+                "hidden_act": "gelu_new",
+                "hidden_dropout_prob": 0.1,
+                "initializer_range": 0.02,
+                "layer_norm_eps": 1e-6,
+            },
+            "channels": 32,
+            "dtype": None,
+            "fourier_impl": "dft_matmul",
+        }
+    )
+    cfg_x = ModelConfig(
+        channels=2, f_size=16, ch=(32, 64, 96), krn=(3, 3, 3), res=(2, 1, 1),
+        num_timesteps=50, transformers=transformers, conv_impl="xla",
+    )
+    cfg_p = dataclasses.replace(cfg_x, conv_impl="pallas", act_store="int8")
+    assert _supports_full_flat(cfg_p)
+    params = init_model(jax.random.key(0), cfg_x)
+    rng = np.random.default_rng(3)
+    for mod in ("down_modules", "up_modules"):
+        for stage in params[mod]["stages"]:
+            for block in stage["blocks"]:
+                c = block["norm3"]["g"].shape[0]
+                block["norm3"]["g"] = jnp.asarray(
+                    1.0 + 0.2 * rng.standard_normal(c).astype(np.float32)
+                )
+    x = jax.random.normal(jax.random.key(1), (2, 2, 32, 16))
+    t = jnp.array([3, 17])
+    ref = np.asarray(apply_model(params, x, t, cfg_x))
+    with pltpu.force_tpu_interpret_mode():
+        out = np.asarray(apply_model(params, x, t, cfg_p))
+
+    def snr(r, o):
+        return 10 * np.log10((r ** 2).mean() / ((o - r) ** 2).mean())
+
+    assert snr(ref, out) > 30, snr(ref, out)
