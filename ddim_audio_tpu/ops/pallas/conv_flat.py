@@ -190,10 +190,12 @@ def _conv_kernel(refs, *, tile_t, g, p, fpp, use6, n_t, has_res, has_pre,
     out_s_ref = next(it) if quant_out else None
     stats_ref = next(it) if want_stats else None
     scratch = next(it)
-    lo_scr = next(it)
-    hi_scr = next(it)
+    # lo/hi exist only for the 6-pass rolled scheme (its two lane-rotated
+    # stream views); the 9-tap path masks post-matmul instead
+    lo_scr = next(it) if use6 else None
+    hi_scr = next(it) if use6 else None
     # mxu_i8 taps read int8: the unmasked requant buffer lives separately
-    # from the (bf16) staging scratch; lo/hi above are int8 in that mode
+    # from the (bf16) staging scratch
     mid_q = next(it) if mxu_i8 else None
 
     i = pl.program_id(1)
@@ -262,62 +264,47 @@ def _conv_kernel(refs, *, tile_t, g, p, fpp, use6, n_t, has_res, has_pre,
             res_s[k][0, 0][0:1] if res_q else None,
         )
 
-    if use6 or mxu_i8:
+    # Assembly: ONE unmasked staging store per piece. The f-boundary masks
+    # are applied POST-MATMUL: a tap's matmul maps input row r+δ to output
+    # row r one-to-one, so zeroing boundary input rows ≡ zeroing the tap
+    # result's rows where the SOURCE row index is a period first/last —
+    # which saves the two full-tile masked staging buffers (2 extra VMEM
+    # stores + reads + where/iota passes per tile) the round-2 kernel
+    # materialized.
+    if mxu_i8:
         # mxu_i8 stages the prologue output unmasked in bf16 (the int8
         # requant below dwarfs bf16 rounding) with the tile amax
         # accumulated from the registers DURING assembly — no separate
-        # amax read pass; the f-boundary masks are applied during the
-        # requant store below.
+        # amax read pass.
         am = jnp.zeros((), jnp.float32)
         for r0, n, ref, res, k in pieces:
             v = piece_prep(ref, res, k)
             scratch[r0 : r0 + n, :] = v
-            if mxu_i8:
-                am = jnp.maximum(am, jnp.max(jnp.abs(v.astype(jnp.float32))))
+            am = jnp.maximum(am, jnp.max(jnp.abs(v.astype(jnp.float32))))
     else:
-        # 9-tap path: the f-boundary masked variants (lo: last-period rows
-        # zeroed, hi: first-period rows zeroed) are written DURING assembly
-        # from the same registers — two full-scratch read-back passes
-        # removed vs masking afterwards.
         for r0, n, ref, res, k in pieces:
-            v = piece_prep(ref, res, k)
-            gi = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0) % g
-            scratch[r0 : r0 + n, :] = v
-            lo_scr[r0 : r0 + n, :] = jnp.where(gi == g - 1, zero, v)
-            hi_scr[r0 : r0 + n, :] = jnp.where(gi == 0, zero, v)
+            scratch[r0 : r0 + n, :] = piece_prep(ref, res, k)
 
     @pl.when(i == 0)
     def _():
         scratch[0:h, :] = jnp.zeros((h, p), scratch.dtype)
-        if not (use6 or mxu_i8):
-            lo_scr[0:h, :] = jnp.zeros((h, p), scratch.dtype)
-            hi_scr[0:h, :] = jnp.zeros((h, p), scratch.dtype)
 
     @pl.when(i == n_t - 1)
     def _():
         scratch[h + m :, :] = jnp.zeros((h, p), scratch.dtype)
-        if not (use6 or mxu_i8):
-            lo_scr[h + m :, :] = jnp.zeros((h, p), scratch.dtype)
-            hi_scr[h + m :, :] = jnp.zeros((h, p), scratch.dtype)
 
     if mxu_i8:
         # Requantize the staged prologue output to a single per-tile
         # symmetric int8 scale (halo rows included — every tap operand must
-        # share the scale for the int32 accumulate to be rescalable), with
-        # the f-boundary masked variants written in the same pass. The taps
-        # then run int8 × int8 → int32 on the MXU at 2× the bf16 rate.
+        # share the scale for the int32 accumulate to be rescalable). The
+        # taps then run int8 × int8 → int32 on the MXU at 2× the bf16 rate.
         # (am was accumulated over the pre-zeroed t-edge halos too — a
         # possibly-looser scale there, never a wrong value.)
         amax_t = jnp.maximum(am, 1e-30)
         s_q = amax_t * (1.0 / 127.0)
         v = scratch[:, :].astype(jnp.float32)
-        qv = jnp.clip(jnp.round(v * (127.0 / amax_t)),
-                      -127.0, 127.0).astype(jnp.int8)
-        gi_all = jax.lax.broadcasted_iota(jnp.int32, (nz, 1), 0) % g
-        zero8 = jnp.zeros((), jnp.int8)
-        mid_q[:, :] = qv
-        lo_scr[:, :] = jnp.where(gi_all == g - 1, zero8, qv)
-        hi_scr[:, :] = jnp.where(gi_all == 0, zero8, qv)
+        mid_q[:, :] = jnp.clip(jnp.round(v * (127.0 / amax_t)),
+                               -127.0, 127.0).astype(jnp.int8)
 
     acc = (jnp.zeros((m, p), jnp.int32) if mxu_i8
            else jnp.zeros((m, p), jnp.float32))
@@ -367,26 +354,32 @@ def _conv_kernel(refs, *, tile_t, g, p, fpp, use6, n_t, has_res, has_pre,
                     preferred_element_type=jnp.float32,
                 )
     else:
-        # 9-tap path: taps read the pre-masked buffers written during
-        # assembly (fpp == 1 always; 16-bit storage at any fpp — see
-        # pack_conv_weights). mxu_i8 reads the masked int8 requant buffers
-        # and accumulates in int32.
+        # 9-tap path (fpp == 1 always; 16-bit storage at any fpp — see
+        # pack_conv_weights). All taps read the single unmasked staging
+        # buffer; the f-boundary zeros land post-matmul: the dg=0 taps read
+        # source row r−1, which is a period's LAST row exactly when the
+        # OUTPUT row r is a period's first (the dt offset is a multiple of
+        # g), so where-masking the tap result's first-period rows is
+        # identical — likewise dg=2 masks last-period rows. mxu_i8 reads
+        # the int8 requant buffer and accumulates in int32.
         acc_t = jnp.int32 if mxu_i8 else jnp.float32
         mid = mid_q if mxu_i8 else scratch
-        for dt in range(3):
-            for dg in range(3):
+        ri = jax.lax.broadcasted_iota(jnp.int32, (m, 1), 0) % g
+        masks = (ri == 0, None, ri == g - 1)
+        zero_acc = jnp.zeros((), acc_t)
+        for dg in range(3):
+            part = jnp.zeros((m, p), acc_t)
+            for dt in range(3):
                 delta = (dt - 1) * g + (dg - 1)
-                # dg=0 reads row r−1 (valid except at each time row's first
-                # period → mask source rows that are a period's LAST row);
-                # dg=2 reads r+1 (mask source rows that are a period's
-                # first).
-                src = (lo_scr, mid, hi_scr)[dg]
-                rows = src[h + delta : h + delta + m, :]
+                rows = mid[h + delta : h + delta + m, :]
                 j = dt * 3 + dg
-                acc = acc + jnp.dot(
+                part = part + jnp.dot(
                     rows, w_ref[j * p : (j + 1) * p, :],
                     preferred_element_type=acc_t,
                 )
+            if masks[dg] is not None:
+                part = jnp.where(masks[dg], zero_acc, part)
+            acc = acc + part
 
     if mxu_i8:
         # int32 → fp32 with the combined activation-tile × per-lane weight
@@ -873,13 +866,13 @@ def conv3x3_flat(x, w2, bias_flat=None, *, c: int, tile_t: int | None = None,
                                       memory_space=pltpu.VMEM))
         out_shape.append(jax.ShapeDtypeStruct((bsz, 2, g, p), jnp.float32))
 
-    scratch_shapes = [
-        pltpu.VMEM(((tile_t + 4) * g, p), stage_dt),
-        pltpu.VMEM(((tile_t + 4) * g, p),
-                   jnp.int8 if mxu_int8 else stage_dt),
-        pltpu.VMEM(((tile_t + 4) * g, p),
-                   jnp.int8 if mxu_int8 else stage_dt),
-    ]
+    use6_w = not mxu_int8 and p // c >= 2 and sdtype.itemsize == 4
+    scratch_shapes = [pltpu.VMEM(((tile_t + 4) * g, p), stage_dt)]
+    if use6_w:
+        scratch_shapes.extend([
+            pltpu.VMEM(((tile_t + 4) * g, p), stage_dt),
+            pltpu.VMEM(((tile_t + 4) * g, p), stage_dt),
+        ])
     if mxu_int8:
         scratch_shapes.append(pltpu.VMEM(((tile_t + 4) * g, p), jnp.int8))
     result = pl.pallas_call(
