@@ -9,7 +9,6 @@ measured per-call overhead subtracted (see ARCHITECTURE.md).
 
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -27,42 +26,15 @@ from ddim_audio_tpu.ops.pallas.conv_strided import (
     pack_up_weights,
 )
 
-_OVERHEAD = None
-
-
-def call_overhead():
-    global _OVERHEAD
-    if _OVERHEAD is None:
-        f = jax.jit(lambda x: jnp.sum(x * 1.000001))
-        x = jnp.ones((8, 128), jnp.float32)
-        float(f(x))
-        ts = []
-        for _ in range(5):
-            t0 = time.time()
-            float(f(x))
-            ts.append(time.time() - t0)
-        _OVERHEAD = min(ts)
-        print(f"per-call tunnel overhead: {_OVERHEAD * 1e3:.1f} ms", flush=True)
-    return _OVERHEAD
-
-
 def time_op(name, op, x, iters=30):
-    """op: x → same-shape x (renormalized chaining applied here)."""
-    @jax.jit
-    def chain(x):
-        def body(h, _):
-            o = op(h)
-            return o * jax.lax.rsqrt(jnp.mean(o * o) + 1e-8), None
-        return jax.lax.scan(body, x, None, length=iters)[0]
+    """op: x → same-shape x. Overhead-free two-length slope protocol
+    (benchmarks/timing.py) with unit-RMS renormalized chaining; the renorm
+    pass itself (~1 extra r+w of x) is included — subtract renorm_ms(x) for
+    the op alone."""
+    del iters
+    from benchmarks.timing import op_ms
 
-    out = chain(x)
-    out.block_until_ready()
-    best = float("inf")
-    for _ in range(2):
-        t0 = time.time()
-        float(jnp.sum(jnp.abs(chain(x))))
-        best = min(best, time.time() - t0)
-    ms = max(best - call_overhead(), 0.0) / iters * 1e3
+    ms = op_ms(op, x, renorm=True)
     print(f"{name:42s} {ms:8.3f} ms", flush=True)
     return ms
 

@@ -79,6 +79,14 @@ class ModelConfig:
     # ~98% of the forward's bytes); others stay in cfg.dtype. None = store
     # activations in cfg.dtype.
     act_store: str | None = None
+    # int8 × int8 → int32 conv taps on the MXU for the flat SAMPLING path
+    # (2× the bf16 matmul rate): per-tile symmetric activation requant in
+    # VMEM + per-output-channel weight quant. The hot convs are MXU-bound
+    # (the flat layout's tap blocks are lane-padded 2-4× at C ≤ 96 —
+    # overhead-free measurements in BASELINE.md), so tap precision is the
+    # perf axis at those widths; C ≥ 128 stages keep cfg.dtype taps (fpp=1
+    # is unpadded and the requant pass costs more than it saves).
+    tap_int8: bool = False
 
     @classmethod
     def from_config(cls, config):
@@ -97,6 +105,7 @@ class ModelConfig:
             transformers=m.transformers,
             conv_impl=getattr(m, "conv_impl", "auto"),
             act_store=getattr(m, "act_store", None),
+            tap_int8=bool(getattr(m, "tap_int8", False)),
         )
 
     def __hash__(self):
@@ -105,7 +114,7 @@ class ModelConfig:
         # collide as jit static args.
         return hash((self.channels, self.f_size, self.ch, self.krn, self.res,
                      self.num_timesteps, str(self.dtype), self.remat,
-                     self.conv_impl, self.act_store,
+                     self.conv_impl, self.act_store, self.tap_int8,
                      repr(vars(self.transformers)) if self.transformers else ""))
 
     def __eq__(self, other):
@@ -482,7 +491,9 @@ def _apply_model_flat_core(params, xf, temb_chunks, cfg: ModelConfig):
     from ..ops.pallas.conv_flat import (
         conv3x3_flat,
         pack_conv_weights,
+        pack_conv_weights_int8,
         supports_flat_int8,
+        tap_int8_profitable,
     )
     from ..ops.pallas.conv_strided import (
         conv_down_flat,
@@ -526,6 +537,7 @@ def _apply_model_flat_core(params, xf, temb_chunks, cfg: ModelConfig):
             res = resblock_flat(
                 block, hv, next(temb_iter), f=f, c=c,
                 in_stats=stats, want_out_stats=not last, rows_io=True,
+                tap_int8=cfg.tap_int8 and tap_int8_profitable(c),
             )
             hv, stats = res if not last else (res, None)
         return hv.reshape(b_, t_, fc_)
@@ -541,11 +553,17 @@ def _apply_model_flat_core(params, xf, temb_chunks, cfg: ModelConfig):
     head = params["down_modules"]["head"]
     w_head = jnp.zeros((3, 3, c0, c0), jnp.float32).at[:, :, :cin, :].set(
         head["w"].astype(jnp.float32))
+    tap8_0 = cfg.tap_int8 and tap_int8_profitable(c0)
+    if tap8_0:
+        wh, wh_s = pack_conv_weights_int8(w_head)
+        head_kw = {"mxu_int8": True, "w_scale": wh_s}
+    else:
+        wh = pack_conv_weights(w_head, compute_dtype)
+        head_kw = {}
     hf, hs1, hs2 = conv3x3_flat(
-        xf,
-        pack_conv_weights(w_head, compute_dtype),
+        xf, wh,
         add=jnp.tile(head["b"].astype(jnp.float32), f),
-        c=c0, want_stats=True,
+        c=c0, want_stats=True, **head_kw,
     )
 
     hidden = []
@@ -624,6 +642,10 @@ def _apply_model_flat_core(params, xf, temb_chunks, cfg: ModelConfig):
         tail["w"].astype(jnp.float32))
     b_tail = jnp.zeros((c0,), jnp.float32).at[:cout].set(
         tail["b"].astype(jnp.float32))
+    # The tail conv keeps float taps even under tap_int8: its output IS the
+    # model's ε-prediction, so the per-tile input requant noise would land
+    # directly on the result instead of being washed through a GroupNorm
+    # (measured: end-to-end SNR drops several dB with an int8 tail).
     return conv3x3_flat(
         hf, pack_conv_weights(w_tail, compute_dtype),
         add=jnp.tile(b_tail, f), c=c0, residual=hidden.pop(),

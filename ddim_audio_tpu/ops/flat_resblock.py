@@ -30,6 +30,7 @@ from .pallas.conv_flat import (
     conv3x3_flat,
     flat_period,
     pack_conv_weights,
+    pack_conv_weights_int8,
     residual_affine_flat,
 )
 
@@ -196,7 +197,7 @@ def resblock_flat_int8(p, xv, temb, *, f: int, c: int,
 
 def resblock_flat(p, x_flat, temb, *, f: int, c: int, tile_t: int | None = None,
                   in_stats=None, want_out_stats: bool = False,
-                  rows_io: bool = False):
+                  rows_io: bool = False, tap_int8: bool = False):
     """p: resblock params; x_flat [B, T, F·C] (or the [B, T·G, P] row view
     when rows_io=True — stage chains should pass rows to skip per-block
     reshapes); temb [B, C].
@@ -211,7 +212,13 @@ def resblock_flat(p, x_flat, temb, *, f: int, c: int, tile_t: int | None = None,
     [B, T·G, P] row view (rows_view=True): XLA materializes the
     [B, T, F·C] ↔ row-view reshapes around custom calls whenever B > 1
     (trace-measured: 39 ms of reshape copies per batch-2 forward), and all
-    per-lane affines here are period-invariant so [B, P] patterns suffice."""
+    per-lane affines here are period-invariant so [B, P] patterns suffice.
+
+    tap_int8=True runs both convs' tap matmuls as int8 × int8 → int32 on
+    the MXU (per-tile activation requant + per-output-channel weight quant,
+    conv_flat mxu_int8) — 2× the bf16 MXU rate. The hot convs are
+    MXU-bound, not HBM-bound (overhead-free round-3 measurements,
+    BASELINE.md): profitable at the lane-padded widths C ≤ 96."""
     dtype = x_flat.dtype
     pp = flat_period(c)
     fc = f * c
@@ -226,8 +233,15 @@ def resblock_flat(p, x_flat, temb, *, f: int, c: int, tile_t: int | None = None,
     n = t * f * (c // GROUPS)  # elements per (sample, group)
     fpp = pp // c
 
-    w1 = pack_conv_weights(p["conv1"]["w"], dtype)
-    w2 = pack_conv_weights(p["conv2"]["w"], dtype)
+    if tap_int8:
+        w1, ws1 = pack_conv_weights_int8(p["conv1"]["w"])
+        w2, ws2 = pack_conv_weights_int8(p["conv2"]["w"])
+        kw1 = {"mxu_int8": True, "w_scale": ws1}
+        kw2 = {"mxu_int8": True, "w_scale": ws2}
+    else:
+        w1 = pack_conv_weights(p["conv1"]["w"], dtype)
+        w2 = pack_conv_weights(p["conv2"]["w"], dtype)
+        kw1 = kw2 = {}
     temb_p = jnp.tile(temb.astype(jnp.float32), (1, fpp))  # [B, P]
     bias2_p = jnp.tile(p["conv2"]["b"].astype(jnp.float32), fpp)
     if in_stats is None:
@@ -245,12 +259,12 @@ def resblock_flat(p, x_flat, temb, *, f: int, c: int, tile_t: int | None = None,
     hv, h1, h2 = conv3x3_flat(
         xv, w1, c=c, f=f, rows_view=True, tile_t=tile_t,
         pre=pre_of(*in_stats, p["norm1"]), pre_silu=True, add=temb_p,
-        post_silu=True, want_stats=True,
+        post_silu=True, want_stats=True, **kw1,
     )
     sv, s1, s2 = conv3x3_flat(
         hv, w2, c=c, f=f, rows_view=True, tile_t=tile_t,
         pre=pre_of(h1, h2, p["norm2"]), pre_silu=False, add=bias2_p,
-        post_silu=True, want_stats=True,
+        post_silu=True, want_stats=True, **kw2,
     )
     scale3, shift3 = _affine_c_from_sums_p(s1, s2, n, p["norm3"], c)
     scale3_p = jnp.tile(scale3, (1, fpp))[:, None, :]

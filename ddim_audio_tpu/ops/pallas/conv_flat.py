@@ -120,6 +120,16 @@ def pack_conv_weights(w, dtype=jnp.float32) -> jax.Array:
     return w2.astype(dtype)
 
 
+def tap_int8_profitable(c: int) -> bool:
+    """Widths where int8 × int8 → int32 taps beat bf16 taps (measured with
+    the overhead-free two-length protocol, benchmarks/bench_kernel_matrix):
+    the fused conv at C=32/64/96 runs 1.82→1.71 / 0.83→0.76 / 0.58→0.34 ms
+    at sampling scale — the lane-padded tap matmuls are the binding cost
+    there. C ≥ 128 (fpp = 1, unpadded) loses: 0.049→0.071 ms at C=128 (the
+    per-tile requant pass exceeds the MXU saving)."""
+    return c <= 96
+
+
 def pack_conv_weights_int8(w):
     """w [3, 3, C, C] (HWIO) → (int8 [9·P, P] tap blocks, fp32 [P] per-lane
     dequant scales). Symmetric per-output-channel quantization: output lane
@@ -882,6 +892,12 @@ def conv3x3_flat(x, w2, bias_flat=None, *, c: int, tile_t: int | None = None,
         out_specs=tuple(out_specs) if len(out_specs) > 1 else out_specs[0],
         out_shape=tuple(out_shape) if len(out_shape) > 1 else out_shape[0],
         scratch_shapes=scratch_shapes,
+        # mxu_int8 carries an extra int8 requant buffer on top of the bf16
+        # staging scratch — the fully-fused call (residual + stats) can
+        # exceed Mosaic's default 16 MB scoped-vmem bound by ~1.4 MB at the
+        # production tile; v5e has 128 MB of VMEM, so raise the bound
+        # rather than shrink the (measured-optimal) tile.
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 << 20),
     )(*args)
     if not isinstance(result, (tuple, list)):
         result = (result,)

@@ -67,6 +67,13 @@ class Diffusion:
             self.eval_cfg = dataclasses.replace(
                 self.eval_cfg, act_store=str(astore)
             )
+        # sampling.tap_int8: int8 × int8 → int32 conv taps on the MXU during
+        # sampling (the hot convs are MXU-bound at the lane-padded widths —
+        # BASELINE.md round-3 measurements). Inference-only.
+        if bool(getattr(config.sampling, "tap_int8", False)):
+            import dataclasses
+
+            self.eval_cfg = dataclasses.replace(self.eval_cfg, tap_int8=True)
         self.schedule = make_schedule(
             config.diffusion.beta_schedule,
             config.diffusion.beta_start,

@@ -26,19 +26,33 @@ def sync(tree) -> float:
     return total
 
 
-def time_chained(op, x0, *, iters: int = 20) -> float:
+def time_chained(op, x0, *, iters: int = 10, iters2: int = 50) -> float:
     """Milliseconds per application of ``op`` (x → x, same shape/dtype),
-    measured as one jitted lax.scan chain — no dispatch overhead, no
-    elision."""
-    fn = jax.jit(
-        lambda x: jax.lax.scan(lambda c, _: (op(c), None), x, None,
-                               length=iters)[0]
-    )
-    sync(fn(x0))  # compile + warm
-    t0 = time.time()
-    out = fn(x0)
-    sync(out)
-    return (time.time() - t0) / iters * 1e3
+    measured as the SLOPE between two jitted lax.scan chain lengths:
+    (t(iters2) − t(iters)) / (iters2 − iters). The per-call tunnel constant
+    (measured at ~1.5-30 ms on axon — large enough to have mis-ranked
+    whole optimization rounds when amortized as total/iters) cancels
+    exactly; elision cannot occur because each iteration consumes the
+    previous output and the result is host-fetched."""
+    def chain(n):
+        return jax.jit(
+            lambda x: jax.lax.scan(lambda c, _: (op(c), None), x, None,
+                                   length=n)[0]
+        )
+
+    def best_of(fn, reps=3):
+        sync(fn(x0))  # compile + warm
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.time()
+            out = fn(x0)
+            sync(out)
+            best = min(best, time.time() - t0)
+        return best
+
+    t1 = best_of(chain(iters))
+    t2 = best_of(chain(iters2))
+    return (t2 - t1) / (iters2 - iters) * 1e3
 
 
 def time_fn(fn, *args, iters: int = 5) -> float:
