@@ -526,7 +526,9 @@ def _down_op(c_in: int, c_out: int):
         conv_down_flat,
         conv_up_flat,
         pack_down_weights,
+        pack_down_weights12,
         pack_up_weights,
+        pack_up_weights12,
     )
 
     @jax.custom_vjp
@@ -543,8 +545,10 @@ def _down_op(c_in: int, c_out: int):
             g, pack_up_weights(_flip_swap(w), g.dtype),
             jnp.zeros((c_in,), jnp.float32), c_in=c_out, c_out=c_in)
         dw12 = conv_down_dw_flat(x, g, c_in=c_in, c_out=c_out)
+        # the dw kernel emits the 12-block layout; unpack through the
+        # always-12 packer regardless of the forward's (possibly slim) one
         _, unpack = jax.vjp(
-            lambda ww: pack_down_weights(ww.astype(jnp.float32)), w)
+            lambda ww: pack_down_weights12(ww.astype(jnp.float32)), w)
         (dw,) = unpack(dw12)
         db = jnp.sum(g.astype(jnp.float32), axis=(0, 1)).reshape(
             -1, c_out).sum(axis=0)
@@ -560,7 +564,9 @@ def _up_op(c_in: int, c_out: int):
         conv_down_flat,
         conv_up_flat,
         pack_down_weights,
+        pack_down_weights12,
         pack_up_weights,
+        pack_up_weights12,
     )
 
     @jax.custom_vjp
@@ -578,7 +584,7 @@ def _up_op(c_in: int, c_out: int):
             jnp.zeros((c_in,), jnp.float32), c_in=c_out, c_out=c_in)
         dw12 = conv_up_dw_flat(x, g, c_in=c_in, c_out=c_out)
         _, unpack = jax.vjp(
-            lambda ww: pack_up_weights(ww.astype(jnp.float32)), w)
+            lambda ww: pack_up_weights12(ww.astype(jnp.float32)), w)
         (dw,) = unpack(dw12)
         db = jnp.sum(g.astype(jnp.float32), axis=(0, 1)).reshape(
             -1, c_out).sum(axis=0)

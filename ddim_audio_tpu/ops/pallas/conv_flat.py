@@ -13,10 +13,13 @@ Design (v2 — replaces the round-1 im2col/manual-DMA kernel):
 - The flat row [F·C] is periodic in the lane-to-(f, c) mapping with period
   P = lcm(C, 128), so x is *viewed* (free reshape) as [T·G, P] rows, where
   G = F·C/P rows per time step. Every conv tap (dt ∈ {0,1,2} time offset ×
-  dq ∈ {−1,0,+1} period offset; sub-period f-offsets live inside the packed
-  [9·P, P] weights) is then a STATIC row-offset slice of a halo-extended
-  VMEM scratch buffer followed by one [M, P] × [P, P] matmul — no im2col
-  materialization, no shift-matrix matmuls.
+  dq ∈ {−1,0,+1} period offset; sub-period f-offsets live inside the
+  packed weights) is then a STATIC row-offset slice of a halo-extended
+  VMEM scratch buffer followed by one matmul — no im2col materialization,
+  no shift-matrix matmuls. At P > 128 the dq = ±1 taps hold only one
+  C-wide band, so they read a 128-lane aligned slice against slim
+  [128, P] blocks (the "slim" format, `_tap_format`) — the hot convs are
+  MXU-bound, and slim cuts 9 P-sized passes to 3 + 6·(128/P).
 - Blocks are delivered by Pallas' pipelined BlockSpecs (main tile + one
   2-time-row halo block on each side), so HBM→VMEM copies are
   double-buffered with compute automatically; the round-1 kernel serialized
@@ -76,58 +79,91 @@ def supports_flat_int8(c: int, f: int, hw: bool = True) -> bool:
     return supports_flat(c, f, hw=hw) and (not hw or g % 16 == 0)
 
 
+def _tap_format(fpp: int, p: int, mxu: bool = False) -> str:
+    """Tap-block format for a conv geometry:
+
+    "9"    — [9·P, P] blocks, one per (dt, dg) period-row offset (`_pack9`).
+             fpp == 1 (C ∈ {128, 256}; the 3×3 f-window maps 1:1 onto the 3
+             row offsets — optimal) and the mxu_int8 path.
+    "slim" — fpp ≥ 2 with LS < P, LS = 128·ceil(C/128): [3·P + 6·LS, P].
+             The dg = ±1 blocks of the 9-format hold exactly ONE C-wide
+             band each (the period-boundary f-offsets o = −1 / o = fpp),
+             so instead of two full [P, P] matmuls per dt the kernel reads
+             a 128-lane-aligned LS-wide slice of the neighbour row and
+             multiplies a slim [LS, P] block: 3 + 6·(LS/P) P-equivalent
+             MXU passes instead of 9 (C=96/P=384: 5; C=192/P=384: 7).
+             At P == 128 a slim block IS full width, so "9" is used.
+
+    The round-2 [6·P, P] lane-rotated 2-view format was removed: with the
+    overhead-free timing protocol (benchmarks/timing.py) its two in-kernel
+    roll+select view constructions measure SLOWER than the 3 extra 9-tap
+    matmuls it saved (fp32 s0 conv 1.88 ms rolled vs ~1.5 ms 9-tap bare;
+    the round-2 numbers that justified it carried ~1.4 ms/op of tunnel
+    call overhead)."""
+    if mxu or fpp == 1:
+        return "9"
+    return "slim" if _slim_width(p // fpp) < p else "9"
+
+
+def _slim_width(c: int) -> int:
+    """Lane width of a slim carry block: the C-wide boundary band rounded
+    up to whole 128-lane slices."""
+    return -(-c // LANES) * LANES
+
+
 def pack_conv_weights(w, dtype=jnp.float32) -> jax.Array:
-    """w [3, 3, C, C] (HWIO) → packed MXU tap blocks, P = lcm(C, 128).
+    """w [3, 3, C, C] (HWIO) → packed MXU tap blocks, P = lcm(C, 128),
+    in the `_tap_format` layout for the geometry (same for every float
+    storage dtype; int8 taps pack via `pack_conv_weights_int8`).
 
-    fpp = P/C == 1 (C ∈ {128, 256}): the 9-tap format of `_pack9` —
-    optimal, since the 3×3 f-window maps 1:1 onto 3 period-row offsets.
-
-    fpp ≥ 2 and 32-bit storage: a [6·P, P] 2-view format. The kernel
-    materializes two lane-rotated copies of the input stream — view A
-    shifted right by C lanes (lane (o+1)·C holds f-offset o ∈ [−1, fpp−2])
-    and view B shifted left (lane (o−1)·C holds o ∈ [1, fpp]) — so the 3
-    period-row offsets per time tap collapse into 2 full-density matmuls:
-        block j = dt·2 + v, v = A if o ≤ fpp−2 else B
-        W2[j·P + rowA/B(o)·C + ci, fo·C + co] = w[dt, df, ci, co]
-    with o = fo + df − 1, rowA = o+1, rowB = o−1. 6 MXU passes instead of
-    9 — matmul-work headroom at every width the lane padding taxed.
-
-    16-bit storage uses the 9-tap format: Mosaic's lane rotate is
-    32-bit-only, and the bitcast-roll workaround costs more VPU time than
-    the 3 extra (memory-hidden) bf16 MXU passes save (measured: s0 conv
-    1.78 ms rolled vs 1.47 ms 9-tap at [8192, 8192] bf16)."""
+    Slim layout ([3·P + 6·LS, P], LS = `_slim_width(C)`):
+        rows [dt·P, (dt+1)·P): in-row taps, o = fo + df − 1 ∈ [0, fpp):
+            W2[dt·P + o·C + ci, fo·C + co] = w[dt, df, ci, co]
+        rows 3P + dt·LS …: the o = −1 carry (only (fo=0, df=0); source is
+            the PREVIOUS period row's last C lanes, read through the
+            aligned lane slice [P−LS, P)): rows [LS−C, LS), cols [0, C)
+        rows 3P + 3LS + dt·LS …: the o = fpp carry ((fo=fpp−1, df=2); next
+            row's first C lanes via slice [0, LS)): rows [0, C),
+            cols [(fpp−1)·C, P)"""
     kh, kw, c, co = w.shape
     assert kh == 3 and kw == 3 and c == co
     p = flat_period(c)
     fpp = p // c
-    if fpp == 1 or jnp.dtype(dtype).itemsize != 4:
+    if _tap_format(fpp, p) == "9":
         return _pack9(w).astype(dtype)
     # jnp (traceable) so packing can run inside jit on live params; a
     # handful of static-index block adds, hoisted out of sampler scan loops.
-    w2 = jnp.zeros((6 * p, p), jnp.float32)
+    ls = _slim_width(c)
+    w2 = jnp.zeros((3 * p + 6 * ls, p), jnp.float32)
     for dt in range(3):
         for df in range(3):
             for fo in range(fpp):
                 o = fo + df - 1
-                if o <= fpp - 2:
-                    j, row = dt * 2, (o + 1) * c
-                else:
-                    j, row = dt * 2 + 1, (o - 1) * c
-                w2 = w2.at[
-                    j * p + row : j * p + row + c,
-                    fo * c : (fo + 1) * c,
-                ].add(w[dt, df].astype(jnp.float32))
+                wv = w[dt, df].astype(jnp.float32)
+                cols = slice(fo * c, (fo + 1) * c)
+                if 0 <= o < fpp:
+                    w2 = w2.at[dt * p + o * c : dt * p + (o + 1) * c,
+                               cols].add(wv)
+                elif o == -1:
+                    r0 = 3 * p + dt * ls + (ls - c)
+                    w2 = w2.at[r0 : r0 + c, cols].add(wv)
+                else:  # o == fpp
+                    r0 = 3 * p + 3 * ls + dt * ls
+                    w2 = w2.at[r0 : r0 + c, cols].add(wv)
     return w2.astype(dtype)
 
 
 def tap_int8_profitable(c: int) -> bool:
-    """Widths where int8 × int8 → int32 taps beat bf16 taps (measured with
-    the overhead-free two-length protocol, benchmarks/bench_kernel_matrix):
-    the fused conv at C=32/64/96 runs 1.82→1.71 / 0.83→0.76 / 0.58→0.34 ms
-    at sampling scale — the lane-padded tap matmuls are the binding cost
-    there. C ≥ 128 (fpp = 1, unpadded) loses: 0.049→0.071 ms at C=128 (the
-    per-tile requant pass exceeds the MXU saving)."""
-    return c <= 96
+    """Widths where int8 × int8 → int32 taps beat the float tap scheme
+    (measured with the overhead-free two-length protocol,
+    benchmarks/bench_kernel_matrix): the fused conv at C=32/64 runs
+    1.79→1.70 / 0.81→0.76 ms at sampling scale — the lane-padded 9-tap
+    matmuls are the binding cost there and int8 halves their MXU time.
+    C = 96 used to qualify, but the slim-carry bf16 format (0.384 ms)
+    now beats the 9-tap int8 path (0.413 ms) there; C ≥ 128 (fpp = 1,
+    unpadded) always lost (the per-tile requant pass exceeds the MXU
+    saving)."""
+    return c <= 64
 
 
 def pack_conv_weights_int8(w):
@@ -175,7 +211,7 @@ def _pack9(w) -> jax.Array:
     return w2
 
 
-def _conv_kernel(refs, *, tile_t, g, p, fpp, use6, n_t, has_res, has_pre,
+def _conv_kernel(refs, *, tile_t, g, p, fpp, fmt, n_t, has_res, has_pre,
                  pre_periodic, pre_silu, has_add, add_periodic, post_silu,
                  want_stats, in_q, res_q, quant_out, mxu_i8):
     it = iter(refs)
@@ -200,10 +236,6 @@ def _conv_kernel(refs, *, tile_t, g, p, fpp, use6, n_t, has_res, has_pre,
     out_s_ref = next(it) if quant_out else None
     stats_ref = next(it) if want_stats else None
     scratch = next(it)
-    # lo/hi exist only for the 6-pass rolled scheme (its two lane-rotated
-    # stream views); the 9-tap path masks post-matmul instead
-    lo_scr = next(it) if use6 else None
-    hi_scr = next(it) if use6 else None
     # mxu_i8 taps read int8: the unmasked requant buffer lives separately
     # from the (bf16) staging scratch
     mid_q = next(it) if mxu_i8 else None
@@ -251,9 +283,6 @@ def _conv_kernel(refs, *, tile_t, g, p, fpp, use6, n_t, has_res, has_pre,
         if pre_silu:
             x32 = jax.nn.silu(x32)
         return x32.astype(scratch.dtype)
-
-    nz = m + 2 * h
-    zero = jnp.zeros((), scratch.dtype)
 
     # piece k = 1 is the main tile (cur scales = slot 0); k = 0/2 are the
     # top/bottom halos (prev/next scale rows = slots 1/2)
@@ -318,54 +347,44 @@ def _conv_kernel(refs, *, tile_t, g, p, fpp, use6, n_t, has_res, has_pre,
 
     acc = (jnp.zeros((m, p), jnp.int32) if mxu_i8
            else jnp.zeros((m, p), jnp.float32))
-    if use6:
-        # 2-view scheme (see pack_conv_weights): build two lane-rotated
-        # copies of the stream so each time tap needs 2 full-density
-        # matmuls instead of 3 sparse ones. Cross-period-row lane carry is
-        # a sublane roll of the rotated copy + lane select; the f-boundary
-        # (f = −1 / f = F) zeros land exactly on the carried lanes of the
-        # first/last period row of each time row.
-        c = p // fpp
-
-        def lane_roll(v, shift):
-            return pltpu.roll(v, shift=shift, axis=1)
-
-        vals = scratch[:, :]
-        lane1 = jax.lax.broadcasted_iota(jnp.int32, (nz - 1, p), 1)
-        ridx1 = jax.lax.broadcasted_iota(jnp.int32, (nz - 1, p), 0) % g
-        # view A: stream shifted right by C lanes; lane (o+1)·C ← f-offset
-        # o ∈ [−1, fpp−2]. Row r's carried lanes (< C) come from row r−1 —
-        # a row-shifted slice of the stored rotation (no sublane rotate,
-        # which is 32-bit-only). Row 0 is left stale: the taps only read
-        # rows ≥ h − g = g ≥ 1.
-        hi_scr[:, :] = lane_roll(vals, c)
-        lowA = lane1 < c
-        ridxA = (ridx1 + 1) % g  # period index of destination row r = 1..nz−1
-        lo_scr[1:, :] = jnp.where(
-            lowA & (ridxA == 0), zero,
-            jnp.where(lowA, hi_scr[0 : nz - 1, :], hi_scr[1:, :]),
-        )
-        # view B: shifted left by C lanes; lane (o−1)·C ← f-offset
-        # o ∈ [1, fpp]. Row r's carried lanes (≥ P−C) come from row r+1;
-        # the last row is left stale (taps read rows ≤ h + g + m − 1).
-        scratch[:, :] = lane_roll(vals, p - c)
-        highB = lane1 >= p - c
-        hi_scr[0 : nz - 1, :] = jnp.where(
-            highB & (ridx1 == g - 1), zero,
-            jnp.where(highB, scratch[1:, :], scratch[0 : nz - 1, :]),
-        )
+    if fmt == "slim":
+        # Slim-carry scheme (see pack_conv_weights / _tap_format): the
+        # in-row taps are 3 dense [P, P] matmuls (no f-boundary exposure —
+        # every o ∈ [0, fpp) stays inside its period row, so no masks);
+        # the two period-boundary f-offsets read a 128-lane-ALIGNED
+        # LS-wide slice of the neighbour row against slim [LS, P] blocks.
+        # The f-boundary zeros land post-matmul exactly as in the 9-tap
+        # path: the o = −1 carry is invalid iff the output row is a
+        # period's first, o = fpp iff it is a period's last.
+        ls = _slim_width(p // fpp)
         for dt in range(3):
             delta = (dt - 1) * g
-            for v, src in enumerate((lo_scr, hi_scr)):
-                rows = src[h + delta : h + delta + m, :]
-                j = dt * 2 + v
-                acc = acc + jnp.dot(
-                    rows, w_ref[j * p : (j + 1) * p, :],
-                    preferred_element_type=jnp.float32,
-                )
+            acc = acc + jnp.dot(
+                scratch[h + delta : h + delta + m, :],
+                w_ref[dt * p : (dt + 1) * p, :],
+                preferred_element_type=jnp.float32,
+            )
+        lo = jnp.zeros((m, p), jnp.float32)
+        hi = jnp.zeros((m, p), jnp.float32)
+        for dt in range(3):
+            delta = (dt - 1) * g
+            lo = lo + jnp.dot(
+                scratch[h + delta - 1 : h + delta - 1 + m, p - ls :],
+                w_ref[3 * p + dt * ls : 3 * p + (dt + 1) * ls, :],
+                preferred_element_type=jnp.float32,
+            )
+            hi = hi + jnp.dot(
+                scratch[h + delta + 1 : h + delta + 1 + m, 0:ls],
+                w_ref[3 * p + (3 + dt) * ls : 3 * p + (4 + dt) * ls, :],
+                preferred_element_type=jnp.float32,
+            )
+        ri = jax.lax.broadcasted_iota(jnp.int32, (m, 1), 0) % g
+        zf = jnp.zeros((), jnp.float32)
+        acc = (acc + jnp.where(ri == 0, zf, lo)
+               + jnp.where(ri == g - 1, zf, hi))
     else:
-        # 9-tap path (fpp == 1 always; 16-bit storage at any fpp — see
-        # pack_conv_weights). All taps read the single unmasked staging
+        # 9-tap path (fpp == 1, P == 128 geometries, and every mxu_i8 call
+        # — see _tap_format). All taps read the single unmasked staging
         # buffer; the f-boundary zeros land post-matmul: the dg=0 taps read
         # source row r−1, which is a period's LAST row exactly when the
         # OUTPUT row r is a period's first (the dt offset is a multiple of
@@ -721,14 +740,13 @@ def conv3x3_flat(x, w2, bias_flat=None, *, c: int, tile_t: int | None = None,
                              "(pack_conv_weights_int8)")
         if w2.dtype != jnp.dtype(jnp.int8):
             raise ValueError("mxu_int8 requires int8 packed weights")
-        n_taps = 9
-    else:
-        n_taps = 6 if (p // c >= 2 and sdtype.itemsize == 4) else 9
+    fmt = _tap_format(p // c, p, mxu_int8)
     stage_dt = jnp.dtype(jnp.bfloat16) if mxu_int8 else sdtype
-    if w2.shape[0] != n_taps * p:
+    want_rows = 3 * p + 6 * _slim_width(c) if fmt == "slim" else 9 * p
+    if w2.shape[0] != want_rows:
         raise ValueError(
-            f"packed weight rows {w2.shape[0]} != {n_taps}·P — pack with the"
-            f" compute dtype (pack_conv_weights(w, {sdtype}))")
+            f"packed weight rows {w2.shape[0]} != {want_rows} ({fmt} format)"
+            f" — pack with pack_conv_weights(w, {sdtype})")
     tile_t = _pick_tile_t(t, g, p, 2 if mxu_int8 else sdtype.itemsize, tile_t)
     if t % tile_t or tile_t % 2:
         raise ValueError(f"T={t} not tileable by even tile_t={tile_t}")
@@ -851,7 +869,7 @@ def conv3x3_flat(x, w2, bias_flat=None, *, c: int, tile_t: int | None = None,
 
     kern = functools.partial(
         _conv_kernel, tile_t=tile_t, g=g, p=p, fpp=p // c,
-        use6=(not mxu_int8 and p // c >= 2 and sdtype.itemsize == 4), n_t=n_t,
+        fmt=fmt, n_t=n_t,
         has_res=has_res, has_pre=has_pre, pre_periodic=pre_periodic,
         pre_silu=pre_silu, has_add=has_add, add_periodic=add_periodic,
         post_silu=post_silu, want_stats=want_stats,
@@ -876,13 +894,7 @@ def conv3x3_flat(x, w2, bias_flat=None, *, c: int, tile_t: int | None = None,
                                       memory_space=pltpu.VMEM))
         out_shape.append(jax.ShapeDtypeStruct((bsz, 2, g, p), jnp.float32))
 
-    use6_w = not mxu_int8 and p // c >= 2 and sdtype.itemsize == 4
     scratch_shapes = [pltpu.VMEM(((tile_t + 4) * g, p), stage_dt)]
-    if use6_w:
-        scratch_shapes.extend([
-            pltpu.VMEM(((tile_t + 4) * g, p), stage_dt),
-            pltpu.VMEM(((tile_t + 4) * g, p), stage_dt),
-        ])
     if mxu_int8:
         scratch_shapes.append(pltpu.VMEM(((tile_t + 4) * g, p), jnp.int8))
     result = pl.pallas_call(

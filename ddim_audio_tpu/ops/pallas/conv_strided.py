@@ -41,6 +41,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .conv_flat import _slim_width
+
 LANES = 128
 
 
@@ -73,32 +75,65 @@ def supports_flat_down(c_in: int, f_in: int, c_out: int | None = None,
 
 
 def pack_down_weights(w, dtype=jnp.float32):
-    """w [4, 4, C_in, C_out] (HWIO) → [12·S, P] blocks j = dt·3 + (dq+1).
+    """w [4, 4, C_in, C_out] (HWIO) → packed tap blocks.
 
     For output lane q = fo·C_out + co (fo ∈ [0, P/C_out)) and tap (dt, df):
         o = (2·fo + df − 1)·C_in + ci,  dq = −1 | 0 | +1 as o < 0 | < S | ≥ S
-        W2[(dt·3 + dq+1)·S + (o mod S), q] = w[dt, df, ci, co]
-    """
+
+    "12" format (LS = `_slim_width(C_in)` ≥ S): [12·S, P] blocks
+        j = dt·3 + (dq+1): W2[j·S + (o mod S), q] = w[dt, df, ci, co].
+
+    "slim" format (LS < S): like conv_flat's slim-carry scheme — the
+    dq = ±1 blocks hold exactly ONE C_in-wide band (o = −C_in and o = S),
+    so they pack as [LS, P] blocks read through 128-lane-aligned slices of
+    the neighbour period row: [4·S + 8·LS, P] =
+        rows [dt·S, (dt+1)·S):       dq = 0 taps (dense)
+        rows 4S + dt·LS …:           dq = −1 (slice [S−LS, S) → band at
+                                     [LS−C_in, LS))
+        rows 4S + 4LS + dt·LS …:     dq = +1 (slice [0, LS) → band [0, C_in))
+    MXU passes drop from 12 S-wide to 4 + 8·(LS/S) (64→96: 12 → 6)."""
     kh, kw, c_in, c_out = w.shape
     assert kh == 4 and kw == 4
+    _, s = down_plan(c_in, c_out)
+    return _pack_down(w, _slim_width(c_in) < s).astype(dtype)
+
+
+def pack_down_weights12(w):
+    """Always-12-format packer (fp32) — the dw kernels emit their gradient
+    in this layout, so the VJP weight unpack goes through THIS packer's
+    transpose regardless of which format the forward ran."""
+    return _pack_down(w, False)
+
+
+def _pack_down(w, slim: bool):
+    kh, kw, c_in, c_out = w.shape
     p, s = down_plan(c_in, c_out)
     fpp = p // c_out
-    w2 = jnp.zeros((12 * s, p), jnp.float32)
+    ls = _slim_width(c_in)
+    rows = 4 * s + 8 * ls if slim else 12 * s
+    w2 = jnp.zeros((rows, p), jnp.float32)
     for dt in range(4):
         for df in range(4):
             for fo in range(fpp):
                 o = (2 * fo + df - 1) * c_in
                 dq = -1 if o < 0 else (1 if o >= s else 0)
                 fi = o % s
-                j = dt * 3 + dq + 1
+                if not slim:
+                    r0 = (dt * 3 + dq + 1) * s + fi
+                elif dq == 0:
+                    r0 = dt * s + fi
+                elif dq == -1:
+                    r0 = 4 * s + dt * ls + (fi - (s - ls))
+                else:
+                    r0 = 4 * s + 4 * ls + dt * ls + fi
                 w2 = w2.at[
-                    j * s + fi : j * s + fi + c_in,
+                    r0 : r0 + c_in,
                     fo * c_out : (fo + 1) * c_out,
                 ].add(w[dt, df].astype(jnp.float32))
-    return w2.astype(dtype)
+    return w2
 
 
-def _down_kernel(refs, *, tile_t, r, s, p, n_t, want_stats):
+def _down_kernel(refs, *, tile_t, r, s, p, ls, n_t, want_stats):
     it = iter(refs)
     x_ref, top_ref, bot_ref = next(it), next(it), next(it)
     w_ref = next(it)
@@ -140,24 +175,54 @@ def _down_kernel(refs, *, tile_t, r, s, p, n_t, want_stats):
     first_mask = gidx == 0
     last_mask = gidx == r - 1
 
+    # f-boundary masks land POST-matmul (a tap maps input row r+δ to output
+    # row r one-to-one, so zeroing invalid input rows ≡ zeroing the dq = ±1
+    # partial sums on period-first/last output rows) — no per-tap masked
+    # operand copies.
     acc = jnp.zeros((m, p), jnp.float32)
+    lo = jnp.zeros((m, p), jnp.float32)
+    hi = jnp.zeros((m, p), jnp.float32)
     stream = {0: so, 1: se, 2: so, 3: se}
     tshift = {0: -r, 1: 0, 2: 0, 3: r}
     for dt in range(4):
         sc = stream[dt]
-        for dq in (-1, 0, 1):
-            delta = tshift[dt] + dq
-            rows = sc[h + delta : h + delta + m, :]
-            if dq == -1:
-                rows = jnp.where(first_mask, jnp.zeros((), rows.dtype), rows)
-            elif dq == 1:
-                rows = jnp.where(last_mask, jnp.zeros((), rows.dtype), rows)
-            j = dt * 3 + dq + 1
+        if ls < s:
+            # slim-carry format (pack_down_weights): dq = 0 dense + two
+            # [LS, P] boundary blocks read through aligned lane slices of
+            # the neighbour period row.
+            delta = tshift[dt]
             acc = acc + jnp.dot(
-                rows, w_ref[j * s : (j + 1) * s, :],
+                sc[h + delta : h + delta + m, :],
+                w_ref[dt * s : (dt + 1) * s, :],
                 preferred_element_type=jnp.float32,
             )
+            lo = lo + jnp.dot(
+                sc[h + delta - 1 : h + delta - 1 + m, s - ls :],
+                w_ref[4 * s + dt * ls : 4 * s + (dt + 1) * ls, :],
+                preferred_element_type=jnp.float32,
+            )
+            hi = hi + jnp.dot(
+                sc[h + delta + 1 : h + delta + 1 + m, 0:ls],
+                w_ref[4 * s + (4 + dt) * ls : 4 * s + (5 + dt) * ls, :],
+                preferred_element_type=jnp.float32,
+            )
+        else:
+            for dq in (-1, 0, 1):
+                delta = tshift[dt] + dq
+                rows = sc[h + delta : h + delta + m, :]
+                j = dt * 3 + dq + 1
+                tgt = jnp.dot(rows, w_ref[j * s : (j + 1) * s, :],
+                              preferred_element_type=jnp.float32)
+                if dq == -1:
+                    lo = lo + tgt
+                elif dq == 1:
+                    hi = hi + tgt
+                else:
+                    acc = acc + tgt
 
+    zf = jnp.zeros((), jnp.float32)
+    acc = (acc + jnp.where(first_mask, zf, lo)
+           + jnp.where(last_mask, zf, hi))
     out = acc + b_ref[0]
     out_ref[0] = out.astype(out_ref.dtype)
 
@@ -177,11 +242,18 @@ def _down_kernel(refs, *, tile_t, r, s, p, n_t, want_stats):
 
 def conv_down_flat(x, w2, bias, *, c_in: int, c_out: int | None = None,
                    tile_t: int | None = None, want_stats: bool = False):
-    """x: [B, T, F·C_in] → [B, T/2, (F/2)·C_out]. w2: packed [12·S, P].
+    """x: [B, T, F·C_in] → [B, T/2, (F/2)·C_out]. w2: packed taps
+    (pack_down_weights — [12·S, P] or the slim [4·S + 8·LS, P] format).
     bias: [C_out] fp32 (or a pre-tiled [P] period pattern)."""
     bsz, t, fc_in = x.shape
     c_out = 2 * c_in if c_out is None else c_out
     p, s = down_plan(c_in, c_out)
+    ls = _slim_width(c_in)
+    want_rows = 4 * s + 8 * ls if ls < s else 12 * s
+    if w2.shape[0] != want_rows:
+        raise ValueError(
+            f"packed weight rows {w2.shape[0]} != {want_rows} — pack with "
+            f"pack_down_weights")
     if fc_in % s:
         raise ValueError(f"FC_in={fc_in} not a multiple of S={s}")
     r = fc_in // s
@@ -229,7 +301,7 @@ def conv_down_flat(x, w2, bias, *, c_in: int, c_out: int | None = None,
                      jax.ShapeDtypeStruct((bsz, 2, r, p), jnp.float32))
 
     kern = functools.partial(_down_kernel, tile_t=tile_t, r=r, s=s, p=p,
-                             n_t=n_t, want_stats=want_stats)
+                             ls=ls, n_t=n_t, want_stats=want_stats)
     result = pl.pallas_call(
         lambda *refs: kern(refs),
         grid=(bsz, n_t),
@@ -277,14 +349,34 @@ def supports_flat_up(c_in: int, f_in: int, c_out: int,
 def pack_up_weights(w, dtype=jnp.float32):
     """w [4, 4, C_in, C_out] — the *equivalent-forward-conv* kernel stored
     by conv_transpose_init (flipped/IO-swapped torch weight, see
-    models/layers.py docstring) → [12·Q, P_s] blocks
-    j = stream·6 + local_dt·3 + (dq+1), stream 0 = even output rows
-    (torch taps dt ∈ {1, 3}), stream 1 = odd (dt ∈ {0, 2})."""
+    models/layers.py docstring) → packed tap blocks; stream 0 = even output
+    rows (torch taps dt ∈ {1, 3}), stream 1 = odd (dt ∈ {0, 2}).
+
+    "12" format (LS = `_slim_width(C_in)` ≥ Q): [12·Q, P_s] blocks
+        j = stream·6 + local_dt·3 + (dq+1).
+    "slim" format (LS < Q): the dq = ±1 blocks hold one C_in-wide band
+    (f_i = −1 / f_i = FQ), packed as [LS, P_s] blocks for aligned-slice
+    reads: [4·Q + 8·LS, P_s] with j2 = stream·2 + local_dt:
+        rows [j2·Q, (j2+1)·Q):     dq = 0 (dense)
+        rows 4Q + j2·LS …:         dq = −1 (slice [Q−LS, Q))
+        rows 4Q + 4LS + j2·LS …:   dq = +1 (slice [0, LS))"""
     kh, kw, c_in, c_out = w.shape
     assert kh == 4 and kw == 4
+    q, _ = up_plan(c_in, c_out)
+    return _pack_up(w, _slim_width(c_in) < q).astype(dtype)
+
+
+def pack_up_weights12(w):
+    """Always-12-format packer (fp32) — see pack_down_weights12."""
+    return _pack_up(w, False)
+
+
+def _pack_up(w, slim: bool):
+    kh, kw, c_in, c_out = w.shape
     q, p_s = up_plan(c_in, c_out)
     fq = q // c_in  # input f positions per period
-    w2 = jnp.zeros((12 * q, p_s), jnp.float32)
+    ls = _slim_width(c_in)
+    w2 = jnp.zeros((4 * q + 8 * ls if slim else 12 * q, p_s), jnp.float32)
     # torch tap coefficient K[dt, df] = stored w[3−dt, 3−df]
     for stream, dts in ((0, (1, 3)), (1, (0, 2))):
         for local_dt, dt in enumerate(dts):
@@ -297,15 +389,23 @@ def pack_up_weights(w, dtype=jnp.float32):
                     o = f_i * c_in
                     dq = -1 if o < 0 else (1 if o >= q else 0)
                     fi = o % q
-                    j = stream * 6 + local_dt * 3 + dq + 1
+                    j2 = stream * 2 + local_dt
+                    if not slim:
+                        r0 = (stream * 6 + local_dt * 3 + dq + 1) * q + fi
+                    elif dq == 0:
+                        r0 = j2 * q + fi
+                    elif dq == -1:
+                        r0 = 4 * q + j2 * ls + (fi - (q - ls))
+                    else:
+                        r0 = 4 * q + 4 * ls + j2 * ls + fi
                     w2 = w2.at[
-                        j * q + fi : j * q + fi + c_in,
+                        r0 : r0 + c_in,
                         fo_p * c_out : (fo_p + 1) * c_out,
                     ].add(w[3 - dt, 3 - df].astype(jnp.float32))
-    return w2.astype(dtype)
+    return w2
 
 
-def _up_kernel(refs, *, tile_t, r, q, p_s, n_t, has_res, want_stats):
+def _up_kernel(refs, *, tile_t, r, q, p_s, ls, n_t, has_res, want_stats):
     it = iter(refs)
     x_ref, top_ref, bot_ref = next(it), next(it), next(it)
     w_ref = next(it)
@@ -340,22 +440,48 @@ def _up_kernel(refs, *, tile_t, r, q, p_s, n_t, has_res, want_stats):
         s1_acc = jnp.zeros((r, p_s), jnp.float32)
         s2_acc = jnp.zeros((r, p_s), jnp.float32)
     for stream in (0, 1):
+        # f-boundary masks land POST-matmul (one-to-one row mapping per
+        # tap); slim format (ls < q) reads the dq = ±1 bands through
+        # aligned lane slices against [LS, P_s] blocks — see
+        # pack_up_weights.
         acc = jnp.zeros((m, p_s), jnp.float32)
+        lo = jnp.zeros((m, p_s), jnp.float32)
+        hi = jnp.zeros((m, p_s), jnp.float32)
         for local_dt in (0, 1):
-            for dq in (-1, 0, 1):
-                delta = tshift[stream][local_dt] + dq
-                rows = sc[h + delta : h + delta + m, :]
-                if dq == -1:
-                    rows = jnp.where(first_mask, jnp.zeros((), rows.dtype),
-                                     rows)
-                elif dq == 1:
-                    rows = jnp.where(last_mask, jnp.zeros((), rows.dtype),
-                                     rows)
-                j = stream * 6 + local_dt * 3 + dq + 1
+            delta0 = tshift[stream][local_dt]
+            j2 = stream * 2 + local_dt
+            if ls < q:
                 acc = acc + jnp.dot(
-                    rows, w_ref[j * q : (j + 1) * q, :],
+                    sc[h + delta0 : h + delta0 + m, :],
+                    w_ref[j2 * q : (j2 + 1) * q, :],
                     preferred_element_type=jnp.float32,
                 )
+                lo = lo + jnp.dot(
+                    sc[h + delta0 - 1 : h + delta0 - 1 + m, q - ls :],
+                    w_ref[4 * q + j2 * ls : 4 * q + (j2 + 1) * ls, :],
+                    preferred_element_type=jnp.float32,
+                )
+                hi = hi + jnp.dot(
+                    sc[h + delta0 + 1 : h + delta0 + 1 + m, 0:ls],
+                    w_ref[4 * q + (4 + j2) * ls : 4 * q + (5 + j2) * ls, :],
+                    preferred_element_type=jnp.float32,
+                )
+            else:
+                for dq in (-1, 0, 1):
+                    delta = delta0 + dq
+                    rows = sc[h + delta : h + delta + m, :]
+                    j = stream * 6 + local_dt * 3 + dq + 1
+                    part = jnp.dot(rows, w_ref[j * q : (j + 1) * q, :],
+                                   preferred_element_type=jnp.float32)
+                    if dq == -1:
+                        lo = lo + part
+                    elif dq == 1:
+                        hi = hi + part
+                    else:
+                        acc = acc + part
+        zf = jnp.zeros((), jnp.float32)
+        acc = (acc + jnp.where(first_mask, zf, lo)
+               + jnp.where(last_mask, zf, hi))
         out = acc + b_ref[0]
         # interleave the time-parity streams with banded in-VMEM writes
         # (output time row 2m+stream is R contiguous view rows) — no
@@ -388,7 +514,8 @@ def conv_up_flat(x, w2, bias, *, c_in: int, c_out: int,
                  tile_t: int | None = None, residual=None,
                  want_stats: bool = False):
     """x: [B, T, F·C_in] → [B, 2T, (2F)·C_out] (torch ConvTranspose2d k4 s2
-    p1 semantics). w2: packed [12·Q, P_s]; bias: [C_out] fp32 (or [P_s]).
+    p1 semantics). w2: packed taps (pack_up_weights — [12·Q, P_s] or the
+    slim [4·Q + 8·LS, P_s] format); bias: [C_out] fp32 (or [P_s]).
 
     residual: optional [B, 2T, (2F)·C_out] skip tensor added to the output
     inside the kernel (the U-Net up-path `up(h) + hidden` fused for free).
@@ -396,6 +523,12 @@ def conv_up_flat(x, w2, bias, *, c_in: int, c_out: int,
     output — the next GroupNorm's statistics with no extra HBM pass."""
     bsz, t, fc_in = x.shape
     q, p_s = up_plan(c_in, c_out)
+    ls = _slim_width(c_in)
+    want_rows = 4 * q + 8 * ls if ls < q else 12 * q
+    if w2.shape[0] != want_rows:
+        raise ValueError(
+            f"packed weight rows {w2.shape[0]} != {want_rows} — pack with "
+            f"pack_up_weights")
     if fc_in % q:
         raise ValueError(f"FC_in={fc_in} not a multiple of Q={q}")
     r = fc_in // q
@@ -436,7 +569,7 @@ def conv_up_flat(x, w2, bias, *, c_in: int, c_out: int,
         )
         args.append(residual.reshape(bsz, 2 * t * r, p_s))
     kern = functools.partial(_up_kernel, tile_t=tile_t, r=r, q=q, p_s=p_s,
-                             n_t=n_t, has_res=residual is not None,
+                             ls=ls, n_t=n_t, has_res=residual is not None,
                              want_stats=want_stats)
     out_specs = pl.BlockSpec((1, 2 * tile_t * r, p_s),
                              lambda b, i: (b, i, 0),
