@@ -410,21 +410,22 @@ def _supports_full_flat(cfg: ModelConfig) -> bool:
 
 
 def apply_model_flat_io(params, xf, t, cfg: ModelConfig):
-    """Flat-io denoiser for sampler loops: xf [B, T, F·ch[0]] flat, channel-
-    padded — the real data lives in lanes f·ch[0] + c for c < cfg.channels;
-    the head conv's zero-padded weight columns make the remaining lanes
-    inert, so a sampler may carry this array across steps without ever
-    re-padding (junk lanes evolve arbitrarily and are never read). Returns
-    the flat eps prediction (lanes ≥ channels hold unspecified values).
+    """Flat-io denoiser for sampler loops: xf [B, T, F·channels] UNPADDED
+    flat (row-major (f, c) lanes); returns the ε-prediction in the same
+    layout.
 
     Rationale: carrying NCHW through the sampler costs ~8.6 ms/step at
-    [1,2,8192,256] in entry/exit glue (NCHW↔NHWC transposes, channel pad,
-    dtype-convert materializations — profiled); converting once per sample
-    call removes all of it."""
-    c0 = cfg.ch[0]
-    if xf.ndim != 3 or xf.shape[2] != cfg.f_size * c0:
+    [1,2,8192,256] in entry/exit glue (NCHW↔NHWC transposes, dtype-convert
+    materializations — profiled); converting once per sample call removes
+    all of it. Round-3 revision: the carried state used to be channel-
+    padded to ch[0] (16× the real bytes at C=2) because the head/tail
+    kernels were square — the asymmetric conv_head_flat/conv_tail_flat
+    pair (ops/pallas/conv_head_tail.py) consumes and emits the unpadded
+    layout, so every sampler update op now touches only real data."""
+    if xf.ndim != 3 or xf.shape[2] != cfg.f_size * cfg.channels:
         raise ValueError(
-            f"expected flat x [B, T, {cfg.f_size * c0}], got {xf.shape}")
+            f"expected flat x [B, T, {cfg.f_size * cfg.channels}],"
+            f" got {xf.shape}")
     stride_total = 2 ** (len(cfg.ch) - 1)
     if xf.shape[1] % stride_total != 0:
         raise ValueError(
@@ -444,22 +445,20 @@ def flat_io_adapters(cfg: ModelConfig):
     the ONE definition of the carried-layout contract (runner, bench, and
     tests must all agree on it):
 
-    - to_flat:  [B, C, T, F] fp32 → channel-padded flat [B, T, F·ch0]
-    - from_flat: flat → [B, C, T, F] fp32 (junk lanes dropped)
+    - to_flat:  [B, C, T, F] fp32 → unpadded flat [B, T, F·C]
+    - from_flat: flat → [B, C, T, F] fp32
     - noise_builder(key, xf): per-step noise drawn CHANNEL-shaped then
-      zero-padded, so real-lane trajectories are bit-identical to the NCHW
-      sampler path (same RNG stream)."""
-    c0, cin, f = cfg.ch[0], cfg.channels, cfg.f_size
+      reshaped, so flat trajectories are bit-identical to the NCHW sampler
+      path (same RNG stream)."""
+    cin, f = cfg.channels, cfg.f_size
 
     def to_flat(xn):
         b, _, t, ff = xn.shape
-        xh = jnp.transpose(xn, (0, 2, 3, 1))
-        return jnp.pad(xh, ((0, 0),) * 3 + ((0, c0 - cin),)).reshape(
-            b, t, ff * c0)
+        return jnp.transpose(xn, (0, 2, 3, 1)).reshape(b, t, ff * cin)
 
     def from_flat(xf):
         b, t, _ = xf.shape
-        h = xf.reshape(b, t, f, c0)[..., :cin]
+        h = xf.reshape(b, t, f, cin)
         return jnp.transpose(h, (0, 3, 1, 2)).astype(jnp.float32)
 
     def noise_builder(key, xf):
@@ -471,13 +470,11 @@ def flat_io_adapters(cfg: ModelConfig):
 
 def _apply_model_flat(params, x, temb_chunks, cfg: ModelConfig):
     """NHWC wrapper around the flat-io core (same contract as the XLA
-    branch of apply_model): pad channels → flat → core → slice/transpose."""
+    branch of apply_model): flatten → core → unflatten/transpose."""
     bsz, t, f, cin = x.shape
-    c0 = cfg.ch[0]
-    xp = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, c0 - cin)))
-    of = _apply_model_flat_core(params, xp.reshape(bsz, t, f * c0),
+    of = _apply_model_flat_core(params, x.reshape(bsz, t, f * cin),
                                 temb_chunks, cfg)
-    h = of.reshape(bsz, t, f, c0)[..., :cin]
+    h = of.reshape(bsz, t, f, -1)
     return jnp.transpose(h, (0, 3, 1, 2)).astype(jnp.float32)
 
 
@@ -485,8 +482,8 @@ def _apply_model_flat_core(params, xf, temb_chunks, cfg: ModelConfig):
     """Flat-layout forward: activations stay in the unpadded [B, T, F·C]
     layout through the head conv, every resblock, and every strided stage
     transition (Pallas kernels); only the tiny bottleneck tokens use XLA's
-    dense path. xf: [B, T, F·ch[0]] channel-padded flat, compute dtype;
-    returns the same shape/dtype."""
+    dense path. xf: [B, T, F·channels] UNPADDED flat, compute dtype;
+    returns [B, T, F·channels] (the ε-prediction, same layout)."""
     from ..ops.flat_resblock import resblock_flat, resblock_flat_int8
     from ..ops.pallas.conv_flat import (
         conv3x3_flat,
@@ -494,6 +491,13 @@ def _apply_model_flat_core(params, xf, temb_chunks, cfg: ModelConfig):
         pack_conv_weights_int8,
         supports_flat_int8,
         tap_int8_profitable,
+    )
+    from ..ops.pallas.conv_head_tail import (
+        conv_head_flat,
+        conv_tail_flat,
+        pack_head_weights,
+        pack_tail_weights,
+        supports_head_tail,
     )
     from ..ops.pallas.conv_strided import (
         conv_down_flat,
@@ -542,29 +546,42 @@ def _apply_model_flat_core(params, xf, temb_chunks, cfg: ModelConfig):
             hv, stats = res if not last else (res, None)
         return hv.reshape(b_, t_, fc_)
 
-    # Head conv as a flat kernel: the XLA NHWC conv pays a C=2→128 lane
-    # padding tax (~10 ms at sampling scale); the input arrives channel-
-    # padded to ch[0] and the head weight's zero input-channel columns keep
-    # the pad lanes inert.
-    bsz, t, fc0 = xf.shape
+    # Head conv in the INPUT's own flat layout (C_in → ch0 asymmetric
+    # kernel, ops/pallas/conv_head_tail.py): the padded square conv paid
+    # 9 full s0-geometry tap passes (~1.8 ms) for a 2→32-channel window.
+    # Geometries the specialized pair doesn't cover (tiny test configs)
+    # fall back to channel-padding + the square kernel.
+    bsz, t, _ = xf.shape
     c0 = cfg.ch[0]
     f = cfg.f_size
     cin = cfg.channels
     head = params["down_modules"]["head"]
-    w_head = jnp.zeros((3, 3, c0, c0), jnp.float32).at[:, :, :cin, :].set(
-        head["w"].astype(jnp.float32))
-    tap8_0 = cfg.tap_int8 and tap_int8_profitable(c0)
-    if tap8_0:
-        wh, wh_s = pack_conv_weights_int8(w_head)
-        head_kw = {"mxu_int8": True, "w_scale": wh_s}
+    ht_kernels = supports_head_tail(cin, c0, f, hw=hw)
+    if ht_kernels:
+        hf, hs1, hs2 = conv_head_flat(
+            xf, pack_head_weights(head["w"], compute_dtype),
+            head["b"].astype(jnp.float32),
+            c_in=cin, c0=c0, f=f, want_stats=True,
+        )
+        hf = hf.reshape(bsz, t, f * c0)
     else:
-        wh = pack_conv_weights(w_head, compute_dtype)
-        head_kw = {}
-    hf, hs1, hs2 = conv3x3_flat(
-        xf, wh,
-        add=jnp.tile(head["b"].astype(jnp.float32), f),
-        c=c0, want_stats=True, **head_kw,
-    )
+        xp = xf.reshape(bsz, t, f, cin)
+        xp = jnp.pad(xp, ((0, 0),) * 3 + ((0, c0 - cin),)).reshape(
+            bsz, t, f * c0)
+        w_head = jnp.zeros((3, 3, c0, c0), jnp.float32).at[
+            :, :, :cin, :].set(head["w"].astype(jnp.float32))
+        tap8_0 = cfg.tap_int8 and tap_int8_profitable(c0)
+        if tap8_0:
+            wh, wh_s = pack_conv_weights_int8(w_head)
+            head_kw = {"mxu_int8": True, "w_scale": wh_s}
+        else:
+            wh = pack_conv_weights(w_head, compute_dtype)
+            head_kw = {}
+        hf, hs1, hs2 = conv3x3_flat(
+            xp, wh,
+            add=jnp.tile(head["b"].astype(jnp.float32), f),
+            c=c0, want_stats=True, **head_kw,
+        )
 
     hidden = []
     hidden.append(hf)
@@ -632,24 +649,28 @@ def _apply_model_flat_core(params, xf, temb_chunks, cfg: ModelConfig):
             stats = (s1, s2)
             t *= 2
             f *= 2
-    # Tail conv likewise flat: pad the ch[0]→channels weights to ch[0]→ch[0]
-    # (the caller slices the first `channels` lanes, or — in a flat-io
-    # sampler loop — leaves the junk lanes in place). The final head skip
-    # add rides the kernel's residual stream.
+    # Tail conv (ch0 → channels): the asymmetric kernel emits the UNPADDED
+    # [B, T, F·channels] ε-prediction directly; the final head skip add
+    # rides the kernel's fused input residual either way. (Float taps
+    # always: the tail's output IS the model result, so input requant
+    # noise would land on it un-normalized.)
     tail = params["up_modules"]["tail"]
     cout = tail["w"].shape[3]
+    if ht_kernels and cout == cin:
+        return conv_tail_flat(
+            hf, pack_tail_weights(tail["w"], f, compute_dtype),
+            tail["b"].astype(jnp.float32),
+            c0=c0, c_out=cout, f=f, residual=hidden.pop(),
+        )
     w_tail = jnp.zeros((3, 3, c0, c0), jnp.float32).at[:, :, :, :cout].set(
         tail["w"].astype(jnp.float32))
     b_tail = jnp.zeros((c0,), jnp.float32).at[:cout].set(
         tail["b"].astype(jnp.float32))
-    # The tail conv keeps float taps even under tap_int8: its output IS the
-    # model's ε-prediction, so the per-tile input requant noise would land
-    # directly on the result instead of being washed through a GroupNorm
-    # (measured: end-to-end SNR drops several dB with an int8 tail).
-    return conv3x3_flat(
+    of = conv3x3_flat(
         hf, pack_conv_weights(w_tail, compute_dtype),
         add=jnp.tile(b_tail, f), c=c0, residual=hidden.pop(),
     )
+    return of.reshape(bsz, t, f, c0)[..., :cout].reshape(bsz, t, f * cout)
 
 
 def _split_points(sizes: Sequence[int]) -> list[int]:

@@ -494,13 +494,16 @@ class Diffusion:
         """(sampler, x_state, finalize) for a start noise x [B, C, T, F].
 
         When the eval model runs fully flat on TPU, the sampler carries the
-        channel-padded FLAT state [B, T, F·ch0] across steps
+        UNPADDED flat state [B, T, F·C] across steps
         (models.unet.apply_model_flat_io): the per-step NCHW↔NHWC
-        transposes, channel pad, and convert/copy materializations cost
-        ~8.6 ms/step at [1,2,8192,256] (profiled). Kept states are sliced
-        back to [B, C, T, F] inside the chunk (state_to_saved), and eta>0
-        noise is drawn channel-shaped then zero-padded so real-lane
-        trajectories match the NCHW path bit-for-bit."""
+        transposes and convert/copy materializations cost ~8.6 ms/step at
+        [1,2,8192,256] (profiled), and the asymmetric head/tail kernels
+        (ops/pallas/conv_head_tail.py) let the state stay at the real
+        channel count — 16× fewer bytes through every update op than the
+        round-2 ch0-padded contract. Kept states convert back to
+        [B, C, T, F] inside the chunk (state_to_saved); eta>0 noise is
+        drawn channel-shaped then reshaped so trajectories match the NCHW
+        path bit-for-bit."""
         from ..models.unet import (
             _supports_full_flat,
             apply_model_flat_io,

@@ -69,12 +69,11 @@ class ScanSampler:
                  scan_chunk: int = 100, state_to_saved=None,
                  noise_builder=None):
         """state_to_saved: optional fn(x) → array stored in the kept-state
-        buffers instead of x itself (the flat-io sampling mode carries a
-        channel-padded [B, T, F·ch0] state whose junk lanes would inflate
-        buffers and tunnel transfers 16×; the converter slices back to the
-        real channels). noise_builder: optional fn(key, x) → per-step noise
-        (flat-io mode draws channel-shaped noise and zero-pads it, so real-
-        lane trajectories stay bit-identical to the NCHW path)."""
+        buffers instead of x itself (the flat-io sampling mode carries the
+        flat [B, T, F·C] state; the converter restores the saved-state NCHW
+        layout). noise_builder: optional fn(key, x) → per-step noise
+        (flat-io mode draws channel-shaped noise and reshapes it, so flat
+        trajectories stay bit-identical to the NCHW path)."""
         if kind not in ("generalized", "ddpm_noisy"):
             raise NotImplementedError(f"sample_type {kind}")
         self.denoise_fn = denoise_fn

@@ -948,3 +948,99 @@ def test_full_model_tap_int8():
     # scale per whole stream) is far noisier than at production scale,
     # where the measured end-to-end SNR is 39.1 dB (TPU, [1,2,8192,256]).
     assert snr(ref, out) > 25, snr(ref, out)
+
+
+def test_head_tail_flat_match_xla():
+    """The channel-asymmetric head (C_in→ch0) and tail (ch0→C_out) kernels
+    match lax.conv_general_dilated exactly at fp32, including the fused
+    tail input-residual and the head's GroupNorm statistics epilogue."""
+    from ddim_audio_tpu.ops.pallas.conv_head_tail import (
+        conv_head_flat,
+        conv_tail_flat,
+        pack_head_weights,
+        pack_tail_weights,
+        supports_head_tail,
+    )
+
+    B, T, F, CIN, C0 = 2, 8, 256, 2, 32
+    assert supports_head_tail(CIN, C0, F, hw=False)
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((B, T, F, CIN)).astype(np.float32)
+    wh = rng.standard_normal((3, 3, CIN, C0)).astype(np.float32) * 0.2
+    bh = rng.standard_normal((C0,)).astype(np.float32)
+    wt = rng.standard_normal((3, 3, C0, CIN)).astype(np.float32) * 0.2
+    bt = rng.standard_normal((CIN,)).astype(np.float32)
+
+    def xla_conv(xn, w, b):
+        return jax.lax.conv_general_dilated(
+            jnp.asarray(xn), jnp.asarray(w), (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC")) + b
+
+    ref_h = np.asarray(xla_conv(x, wh, bh))
+    with pltpu.force_tpu_interpret_mode():
+        out, s1, s2 = conv_head_flat(
+            jnp.asarray(x.reshape(B, T, F * CIN)), pack_head_weights(wh),
+            bh, c_in=CIN, c0=C0, f=F, want_stats=True)
+    np.testing.assert_allclose(np.asarray(out).reshape(B, T, F, C0), ref_h,
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(s1),
+                               ref_h.reshape(B, T, -1).sum(1), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(s2),
+                               (ref_h.reshape(B, T, -1) ** 2).sum(1),
+                               atol=2e-4)
+
+    res = rng.standard_normal((B, T, F, C0)).astype(np.float32)
+    ref_t = np.asarray(xla_conv(ref_h + res, wt, bt))
+    with pltpu.force_tpu_interpret_mode():
+        out_t = conv_tail_flat(
+            out, pack_tail_weights(wt, F), bt, c0=C0, c_out=CIN, f=F,
+            residual=jnp.asarray(res.reshape(B, T * F * C0 // 128, 128)))
+    np.testing.assert_allclose(np.asarray(out_t).reshape(B, T, F, CIN),
+                               ref_t, atol=5e-5)
+
+
+def test_full_model_headtail_kernels_match_xla():
+    """Full flat pipeline WITH the asymmetric head/tail kernels active
+    (f=64 → supports_head_tail holds at hw=False) vs the XLA model."""
+    import dataclasses
+
+    from ddim_audio_tpu.models.unet import (
+        ModelConfig,
+        _supports_full_flat,
+        apply_model,
+        init_model,
+    )
+    from ddim_audio_tpu.ops.pallas.conv_head_tail import supports_head_tail
+    from ddim_audio_tpu.utils.namespace import dict2namespace
+
+    transformers = dict2namespace(
+        {
+            "module": "fnet",
+            "kwargs": {
+                "hidden_size": 32,
+                "num_hidden_layers": 2,
+                "intermediate_size": 64,
+                "hidden_act": "gelu_new",
+                "hidden_dropout_prob": 0.1,
+                "initializer_range": 0.02,
+                "layer_norm_eps": 1e-6,
+            },
+            "channels": 32,
+            "dtype": None,
+            "fourier_impl": "dft_matmul",
+        }
+    )
+    cfg_x = ModelConfig(
+        channels=2, f_size=64, ch=(32, 64), krn=(3, 3), res=(1, 1),
+        num_timesteps=50, transformers=transformers, conv_impl="xla",
+    )
+    cfg_p = dataclasses.replace(cfg_x, conv_impl="pallas")
+    assert _supports_full_flat(cfg_p)
+    assert supports_head_tail(2, 32, 64, hw=False)
+    params = init_model(jax.random.key(2), cfg_x)
+    x = jax.random.normal(jax.random.key(3), (2, 2, 8, 64))
+    t = jnp.array([3, 17])
+    ref = np.asarray(apply_model(params, x, t, cfg_x))
+    with pltpu.force_tpu_interpret_mode():
+        out = np.asarray(apply_model(params, x, t, cfg_p))
+    np.testing.assert_allclose(out, ref, atol=5e-4, rtol=1e-3)
