@@ -62,6 +62,18 @@ def main():
         from ddim_audio_tpu.config import resolve_dtype
 
         cfg = dataclasses.replace(cfg, dtype=resolve_dtype(sdtype))
+    # the remaining inference-only knobs, exactly as the runner applies
+    # them (diffusion_runner.py:59-76): int8 activation storage (opt-in)
+    # and int8 MXU taps (production default, sampling.tap_int8)
+    astore = getattr(config.sampling, "act_store", None)
+    if astore:
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, act_store=str(astore))
+    if bool(getattr(config.sampling, "tap_int8", False)):
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, tap_int8=True)
     sched = make_schedule(
         config.diffusion.beta_schedule,
         config.diffusion.beta_start,
