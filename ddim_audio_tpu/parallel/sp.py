@@ -15,11 +15,27 @@ with an explicit ``shard_map`` implementation:
   Fourier mixing replicated, keep the local slice (Ulysses-style: shard the
   outer T for convs, gather for the global-mixing layer)
 
+The resblock chains — where the FLOPs and bytes are — run on the flat
+Pallas kernels PER SHARD when the geometry supports them and
+``cfg.conv_impl`` selects the Pallas path (the same gate as the
+single-device forward): each stride-1 conv halo-exchanges one t-step of
+raw rows in the kernels' [B, T·G, P] row view, runs the fused kernel over
+the haloed block, and crops; GroupNorm statistics are psum'd per-lane sums
+(the in-kernel fused stats would double-count halo rows, so the SP path
+computes them as one XLA pass per conv output instead). At the global
+boundary the halo t-step is filled with the per-lane value the kernel's
+prologue maps to exactly zero (pre_scale·v + pre_shift = 0), so a missing
+neighbor contributes precisely what the reference's zero padding would.
+Head/tail convs and the strided transitions stay XLA per-shard (they carry
+<10% of the forward's work; their halo protocol is the same but their
+kernels assume whole-T grids).
+
 ``apply_model_sp`` matches ``apply_model`` exactly (tested on the virtual
-8-device CPU mesh against the single-device forward). GSPMD (jit with
-sharding constraints) is the zero-effort alternative exercised by
-``__graft_entry__.dryrun_multichip``; this module is the explicit,
-collective-controlled path.
+8-device CPU mesh against the single-device forward, both XLA and
+interpret-mode Pallas). GSPMD (jit with sharding constraints) is the
+zero-effort alternative exercised by ``__graft_entry__.dryrun_multichip``;
+this module is the explicit, collective-controlled path the sampling
+runner uses for sp>1 meshes (runners/diffusion_runner._denoise_for).
 """
 
 from __future__ import annotations
@@ -132,6 +148,175 @@ def _group_norm_sp(p, x, *, num_groups=8, eps=1e-6):
     return x
 
 
+def _psum_lane_sums(xv):
+    """Global per-lane (sum, sum²) over the sharded rows axis: [B, P] fp32."""
+    xf = xv.astype(jnp.float32)
+    return (
+        jax.lax.psum(jnp.sum(xf, axis=1), SP_AXIS),
+        jax.lax.psum(jnp.einsum("brk,brk->bk", xf, xf), SP_AXIS),
+    )
+
+
+def _halo_rows(xv, g: int, hp: int, vpad):
+    """Rows-view halo for the flat conv kernels: prepend/append ``hp``
+    t-steps (g rows each) so the haloed block stays tileable by the kernel's
+    even tile_t (hp = tile_t/2; T_loc + 2·hp = T_loc + tile_t). The adjacent
+    t-step is the neighbor's real edge rows via ppermute; at the global
+    boundary it is ``vpad`` — the per-lane value the consuming kernel's
+    prologue maps to exactly 0 (pre_scale·v + pre_shift = 0), so a missing
+    neighbor contributes what zero padding of the post-prologue conv input
+    would. The hp−1 outer t-steps are read only by cropped outputs."""
+    n = jax.lax.axis_size(SP_AXIS)
+    b, _, p = xv.shape
+    idx = _axis_index()
+    pad = jnp.broadcast_to(vpad[:, None, :], (b, g, p)).astype(xv.dtype)
+    left = jax.lax.ppermute(
+        xv[:, -g:], SP_AXIS, perm=[(i, i + 1) for i in range(n - 1)]
+    )
+    right = jax.lax.ppermute(
+        xv[:, :g], SP_AXIS, perm=[(i + 1, i) for i in range(n - 1)]
+    )
+    left = jnp.where(idx == 0, pad, left)
+    right = jnp.where(idx == n - 1, pad, right)
+    parts = [left, xv, right]
+    if hp > 1:
+        outer = jnp.tile(pad, (1, hp - 1, 1))
+        parts = [outer, *parts, outer]
+    return jnp.concatenate(parts, axis=1)
+
+
+def _zero_pad_row(scale, shift):
+    """Per-lane input value v with scale·v + shift == 0 (ridge-regularized:
+    degrades to v = 0 where scale ≈ 0, where the prologue output is the
+    constant ``shift`` for every row anyway)."""
+    return -shift * scale / (jnp.square(scale) + 1e-30)
+
+
+def _resblock_rows_sp(p, packed, xv, temb, in_sums, *, f: int, c: int,
+                      tile_t: int):
+    """One residual block on the flat Pallas kernels over sharded-T rows.
+
+    xv: [B, T_loc·G, P] row view; packed: (w1, w2) pre-packed tap blocks
+    (pack_conv_weights — packed OUTSIDE the shard_map body: the packers'
+    scatter chains blow up shard_map compile time); in_sums: global [B, P]
+    per-lane (sum, sum²) of xv. Mirrors ops.flat_resblock.resblock_flat
+    with three differences: halo exchange (+ boundary pad rows) around each
+    conv, GroupNorm affines from psum'd global sums (n = T_global·F·C/G
+    elements per group), and stats computed as XLA passes on the cropped
+    outputs instead of in-kernel (fused stats would count halo rows).
+    Returns (out, out_sums).
+
+    Reference math: Residual_Block (reference models/diffusion.py:12-56),
+    time-sharded."""
+    from ..ops.flat_resblock import GROUPS, _affine_c_from_sums_p
+    from ..ops.pallas.conv_flat import conv3x3_flat, flat_period
+
+    dtype = xv.dtype
+    pp = flat_period(c)
+    fpp = pp // c
+    g = (f * c) // pp
+    b, rows, _ = xv.shape
+    t_loc = rows // g
+    n = t_loc * jax.lax.axis_size(SP_AXIS) * f * (c // GROUPS)
+    hp = tile_t // 2
+    crop = (slice(None), slice(hp * g, (hp + t_loc) * g))
+
+    w1, w2 = packed
+    temb_p = jnp.tile(temb.astype(jnp.float32), (1, fpp))
+    bias2_p = jnp.tile(p["conv2"]["b"].astype(jnp.float32), fpp)
+
+    def pre_of(s1, s2, norm):
+        sc, sh = _affine_c_from_sums_p(s1, s2, n, norm, c)
+        return jnp.tile(sc, (1, fpp)), jnp.tile(sh, (1, fpp))
+
+    pre1 = pre_of(*in_sums, p["norm1"])
+    hv = conv3x3_flat(
+        _halo_rows(xv, g, hp, _zero_pad_row(*pre1)), w1,
+        c=c, f=f, rows_view=True, tile_t=tile_t,
+        pre=pre1, pre_silu=True, add=temb_p, post_silu=True,
+    )[crop]
+    pre2 = pre_of(*_psum_lane_sums(hv), p["norm2"])
+    sv = conv3x3_flat(
+        _halo_rows(hv, g, hp, _zero_pad_row(*pre2)), w2,
+        c=c, f=f, rows_view=True, tile_t=tile_t,
+        pre=pre2, pre_silu=False, add=bias2_p, post_silu=True,
+    )[crop]
+    scale3, shift3 = _affine_c_from_sums_p(
+        *_psum_lane_sums(sv), n, p["norm3"], c
+    )
+    out = (
+        xv.astype(jnp.float32)
+        + sv.astype(jnp.float32) * jnp.tile(scale3, (1, fpp))[:, None, :]
+        + jnp.tile(shift3, (1, fpp))[:, None, :]
+    ).astype(dtype)
+    return out, _psum_lane_sums(out)
+
+
+def _stage_blocks_sp_flat(stage, packed_stage, h, temb_iter, *, f: int,
+                          c: int):
+    """Run a stage's resblock chain on the flat kernels over sharded rows:
+    one NHWC↔rows conversion pair per stage visit, global stats threaded
+    between blocks like the single-device chain."""
+    from ..ops.pallas.conv_flat import _pick_tile_t, flat_period
+
+    b, t_loc, _, _ = h.shape
+    pp = flat_period(c)
+    g = (f * c) // pp
+    tile_t = _pick_tile_t(t_loc, g, pp, jnp.dtype(h.dtype).itemsize)
+    xv = h.reshape(b, t_loc * g, pp)
+    sums = _psum_lane_sums(xv)
+    for block, packed in zip(stage["blocks"], packed_stage):
+        xv, sums = _resblock_rows_sp(
+            block, packed, xv, next(temb_iter), sums, f=f, c=c, tile_t=tile_t
+        )
+    return xv.reshape(b, t_loc, f, c)
+
+
+def _flat_stage_flags(cfg: ModelConfig, t_total: int, sp: int):
+    """Per-stage static gate for the flat SP path: kernel size 3, local T
+    even, geometry supported by the flat kernels on this backend."""
+    from ..ops.pallas.conv_flat import supports_flat
+
+    hw = jax.default_backend() == "tpu"
+    flags = []
+    for i, (c, krn) in enumerate(zip(cfg.ch, cfg.krn)):
+        f_i = cfg.f_size >> i
+        t_loc = t_total // (sp * (1 << i))
+        flags.append(
+            krn == 3 and t_loc % 2 == 0 and supports_flat(c, f_i, hw=hw)
+        )
+    return flags
+
+
+def _pack_sp_weights(params, cfg: ModelConfig, flags):
+    """Pre-pack the flat-stage conv tap blocks OUTSIDE the shard_map body
+    (the packers' scatter chains inflate shard_map compile time by ~10×;
+    packing is replicated-param work with no sharded inputs). Returns
+    {"down": [stage_packs | None], "up": [...]}, each stage pack a list of
+    (w1, w2) per block in the compute dtype."""
+    from ..ops.pallas.conv_flat import pack_conv_weights
+
+    dtype = cfg.dtype
+
+    def pack_side(stages):
+        side = []
+        for i, stage in enumerate(stages):
+            if not flags[i]:
+                side.append(None)
+                continue
+            side.append([
+                (pack_conv_weights(b["conv1"]["w"], dtype),
+                 pack_conv_weights(b["conv2"]["w"], dtype))
+                for b in stage["blocks"]
+            ])
+        return side
+
+    return {
+        "down": pack_side(params["down_modules"]["stages"]),
+        "up": pack_side(params["up_modules"]["stages"]),
+    }
+
+
 def _resblock_sp(p, x, temb, *, kernel_size: int):
     h = _group_norm_sp(p["norm1"], x)
     h = jax.nn.silu(h)
@@ -146,8 +331,9 @@ def _resblock_sp(p, x, temb, *, kernel_size: int):
     return x + h
 
 
-def _apply_model_sp_local(params, x, t, cfg: ModelConfig):
-    """Per-shard body (runs inside shard_map). x: [B, C, T_loc, F]."""
+def _apply_model_sp_local(params, packed, x, t, cfg: ModelConfig):
+    """Per-shard body (runs inside shard_map). x: [B, C, T_loc, F];
+    packed: _pack_sp_weights output (None per stage ⇒ XLA resblocks)."""
     compute_dtype = cfg.dtype
     x = jnp.transpose(x, (0, 2, 3, 1)).astype(compute_dtype)
 
@@ -156,14 +342,25 @@ def _apply_model_sp_local(params, x, t, cfg: ModelConfig):
     )
     temb_iter = iter(jnp.split(temb, _split_points(cfg.embedding_sizes), axis=-1))
 
+    def run_blocks(stage, packed_stage, krn, h):
+        _, _, f_, c_ = h.shape
+        if packed_stage is not None:
+            return _stage_blocks_sp_flat(
+                stage, packed_stage, h, temb_iter, f=f_, c=c_
+            )
+        for block in stage["blocks"]:
+            h = _resblock_sp(block, h, next(temb_iter), kernel_size=krn)
+        return h
+
     hidden = []
     h = _conv_same_sp(params["down_modules"]["head"], x, 3)
     hidden.append(h)
-    for stage, krn in zip(params["down_modules"]["stages"], cfg.krn):
+    for stage, pstage, krn in zip(
+        params["down_modules"]["stages"], packed["down"], cfg.krn
+    ):
         if "down" in stage:
             h = _down_conv_sp(stage["down"], h)
-        for block in stage["blocks"]:
-            h = _resblock_sp(block, h, next(temb_iter), kernel_size=krn)
+        h = run_blocks(stage, pstage, krn, h)
         hidden.append(h)
 
     # bottleneck: gather the (small) token axis, mix globally, re-shard
@@ -180,12 +377,13 @@ def _apply_model_sp_local(params, x, t, cfg: ModelConfig):
         z.reshape(b, tt, cc, ff), (0, 1, 3, 2)
     ).astype(compute_dtype)
 
-    for stage, krn in zip(
-        reversed(params["up_modules"]["stages"]), reversed(cfg.krn)
+    for stage, pstage, krn in zip(
+        reversed(params["up_modules"]["stages"]),
+        reversed(packed["up"]),
+        reversed(cfg.krn),
     ):
         h = h + hidden.pop()
-        for block in stage["blocks"]:
-            h = _resblock_sp(block, h, next(temb_iter), kernel_size=krn)
+        h = run_blocks(stage, pstage, krn, h)
         if "up" in stage:
             h = _up_conv_sp(stage["up"], h)
     h = h + hidden.pop()
@@ -196,7 +394,12 @@ def _apply_model_sp_local(params, x, t, cfg: ModelConfig):
 
 def apply_model_sp(params, x, t, cfg: ModelConfig, mesh):
     """Sequence-parallel forward: x [B, C, T, F] sharded over T across the
-    mesh's ``sp`` axis. T must divide evenly into sp × total-stride blocks."""
+    mesh's ``sp`` axis (and the batch over a ``dp`` axis when the mesh has
+    one that divides B). T must divide evenly into sp × total-stride blocks.
+
+    The resblock chains run on the flat Pallas kernels per shard when
+    ``cfg.conv_impl`` selects them (same gate as the single-device forward:
+    "pallas", or "auto" on a TPU backend)."""
     sp = mesh.shape[SP_AXIS]
     stride_total = 2 ** (len(cfg.ch) - 1)
     if x.shape[2] % (sp * stride_total) != 0:
@@ -204,12 +407,22 @@ def apply_model_sp(params, x, t, cfg: ModelConfig, mesh):
             f"T={x.shape[2]} must be divisible by sp×stride = "
             f"{sp * stride_total}"
         )
+    use_flat = cfg.conv_impl == "pallas" or (
+        cfg.conv_impl == "auto" and jax.default_backend() == "tpu"
+    )
+    if use_flat:
+        flags = _flat_stage_flags(cfg, x.shape[2], sp)
+    else:
+        flags = [False] * len(cfg.ch)
+    packed = _pack_sp_weights(params, cfg, flags)
+    dp = mesh.shape.get("dp", 1)
+    bspec = "dp" if (dp > 1 and x.shape[0] % dp == 0) else None
 
     fn = jax.shard_map(
         functools.partial(_apply_model_sp_local, cfg=cfg),
         mesh=mesh,
-        in_specs=(P(), P(None, None, SP_AXIS, None), P()),
-        out_specs=P(None, None, SP_AXIS, None),
+        in_specs=(P(), P(), P(bspec, None, SP_AXIS, None), P(bspec)),
+        out_specs=P(bspec, None, SP_AXIS, None),
         check_vma=False,
     )
-    return fn(params, x, t)
+    return fn(params, packed, x, t)

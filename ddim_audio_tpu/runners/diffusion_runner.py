@@ -83,8 +83,12 @@ class Diffusion:
         self.num_timesteps = self.schedule.num_timesteps
         self.mesh = make_mesh(getattr(config, "parallel", None))
         if self.mesh is not None and self.mesh.shape.get("sp", 1) > 1:
-            # GSPMD cannot auto-partition Pallas custom calls, so sp>1
-            # meshes (time-axis sharding splits every conv) run XLA convs.
+            # GSPMD cannot auto-partition Pallas custom calls, so the sp>1
+            # TRAIN step (GSPMD with sharding constraints) runs XLA convs.
+            # SAMPLING keeps the flat kernels: _denoise_for routes sp>1
+            # meshes through the explicit shard_map SP forward
+            # (parallel/sp.apply_model_sp), which hosts the Pallas resblock
+            # kernels per time-shard with halo exchanges and psum'd stats.
             # dp-only meshes keep the flat kernels everywhere: sampling
             # wraps the denoiser in shard_map (_wrap_dp) and the TRAIN step
             # computes per-device grads under shard_map + pmean
@@ -94,10 +98,6 @@ class Diffusion:
             if self.model_cfg.conv_impl == "auto":
                 self.model_cfg = dataclasses.replace(
                     self.model_cfg, conv_impl="xla"
-                )
-            if self.eval_cfg.conv_impl == "auto":
-                self.eval_cfg = dataclasses.replace(
-                    self.eval_cfg, conv_impl="xla"
                 )
 
     # ------------------------------------------------------------------ train
@@ -298,7 +298,20 @@ class Diffusion:
         return fn
 
     def _denoise_for(self, batch: int):
-        """NCHW denoise fn for a given batch size (dp-wrapped)."""
+        """NCHW denoise fn for a given batch size. sp>1 meshes run the
+        explicit shard_map SP forward (time-sharded convs with halo
+        exchanges; flat Pallas kernels per shard — parallel/sp.py); dp-only
+        meshes shard the batch (_wrap_dp)."""
+        mesh = self.mesh
+        if mesh is not None and mesh.shape.get("sp", 1) > 1:
+            from ..parallel.sp import apply_model_sp
+
+            cfg = self.eval_cfg
+
+            def fn(params, x, t):
+                return apply_model_sp(params, x, t, cfg, mesh)
+
+            return fn
         return self._wrap_dp(self._denoise_fn, batch)
 
     def sample(self):
@@ -515,10 +528,17 @@ class Diffusion:
         kind = self.args.sample_type
         scan_chunk = int(getattr(config.sampling, "scan_chunk", 100))
         batch = int(x.shape[0])
+        # sp>1 meshes carry NCHW state through the shard_map SP forward
+        # (_denoise_for) — the flat-io carried-state contract is a
+        # single-device/dp layout.
+        sp_mesh = (
+            self.mesh is not None and self.mesh.shape.get("sp", 1) > 1
+        )
         flat_ok = (
-            (cfg.conv_impl == "pallas"
-             or (cfg.conv_impl == "auto"
-                 and jax.default_backend() == "tpu"))
+            not sp_mesh
+            and (cfg.conv_impl == "pallas"
+                 or (cfg.conv_impl == "auto"
+                     and jax.default_backend() == "tpu"))
             and _supports_full_flat(cfg)
         )
         if not flat_ok:

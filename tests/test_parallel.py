@@ -42,6 +42,45 @@ def test_sp_forward_jitted(tiny_cfg, sp_mesh):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)
 
 
+def test_sp_forward_flat_kernels_match(tiny_cfg):
+    """The SP forward HOSTS the flat Pallas kernels per time-shard
+    (interpret mode on the CPU mesh): conv_impl="pallas" under an sp=2 mesh
+    — halo exchanges + boundary pad rows + psum'd GroupNorm stats around
+    the fused conv kernels — matches the single-device XLA forward. GSPMD
+    alone cannot partition these custom calls over the time axis at all.
+    (Smallest geometry that visits every stage: interpret-mode compile of
+    pallas-in-shard_map is expensive, ~5-10 s per conv call.)"""
+    import dataclasses
+
+    from jax.experimental.pallas import tpu as pltpu
+
+    mesh = Mesh(
+        mesh_utils.create_device_mesh((2,), jax.devices()[:2]), ("sp",)
+    )
+    params = init_model(jax.random.key(0), tiny_cfg)
+    x = jax.random.normal(jax.random.key(1), (1, 2, 16, 16))
+    t = jnp.array([3])
+    ref = apply_model(params, x, t, tiny_cfg)
+
+    cfg = dataclasses.replace(tiny_cfg, conv_impl="pallas")
+    with pltpu.force_tpu_interpret_mode():
+        out = apply_model_sp(params, x, t, cfg, mesh)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)
+
+
+def test_sp_forward_dp_sp_mesh(tiny_cfg):
+    """apply_model_sp on a dp×sp mesh shards the batch over dp and T over
+    sp in one shard_map."""
+    devices = mesh_utils.create_device_mesh((2, 2), jax.devices()[:4])
+    mesh = Mesh(devices, ("dp", "sp"))
+    params = init_model(jax.random.key(0), tiny_cfg)
+    x = jax.random.normal(jax.random.key(1), (2, 2, 32, 16))
+    t = jnp.array([3, 40])
+    ref = apply_model(params, x, t, tiny_cfg)
+    out = apply_model_sp(params, x, t, tiny_cfg, mesh)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)
+
+
 def test_sp_rejects_indivisible_T(tiny_cfg, sp_mesh):
     params = init_model(jax.random.key(0), tiny_cfg)
     x = jax.random.normal(jax.random.key(1), (1, 2, 24, 16))
