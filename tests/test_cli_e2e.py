@@ -176,6 +176,33 @@ def test_last_only_sampling_cli(workspace):
     assert files == ["0_final.png", "0_final.wav"]
 
 
+def test_sp_mesh_sampling_cli(workspace, tmp_path):
+    """Sampling under a parallel sp=2 mesh (virtual CPU devices): the runner
+    routes the denoiser through the explicit shard_map SP forward
+    (parallel/sp.apply_model_sp — halo-exchange convs, psum'd GroupNorm,
+    gathered bottleneck) instead of dropping the mesh, and the sampler
+    carries NCHW state (the flat-io carried-state contract is a
+    single-device/dp layout)."""
+    ws, cfg_path = workspace
+    exp = str(ws / "exp")
+    if not os.path.exists(os.path.join(exp, "logs", "smoke", "ckpt.npz")):
+        assert _run(["--config", cfg_path, "--doc", "smoke", "--exp", exp,
+                     "--ni", "--seed", "7"]) == 0
+    with open(cfg_path) as f:
+        raw = yaml.safe_load(f)
+    raw["parallel"] = {"dp": 1, "sp": 2}
+    cfg2 = tmp_path / "sp.yml"
+    with open(cfg2, "w") as f:
+        yaml.dump(raw, f)
+    code = _run(["--config", str(cfg2), "--doc", "smoke", "--exp", exp,
+                 "--ni", "--seed", "17", "--sample", "--sequence", "2",
+                 "--timesteps", "10", "-i", "smoke_sp"])
+    assert code == 0
+    img_dir = os.path.join(exp, "image_samples", "smoke_sp")
+    wavs = [f for f in os.listdir(img_dir) if f.endswith(".wav")]
+    assert len(wavs) == 2
+
+
 def test_ddpm_sampling_cli(workspace):
     ws, cfg_path = workspace
     exp = str(ws / "exp")
