@@ -43,7 +43,7 @@ def main():
     except Exception:
         pass
 
-    from ddim_audio_tpu.config import load_config
+    from ddim_audio_tpu.config import load_config, production_eval_cfg
     from ddim_audio_tpu.diffusion.schedules import (
         make_schedule,
         make_timestep_subsequence,
@@ -52,28 +52,9 @@ def main():
     from ddim_audio_tpu.sampling.driver import ScanSampler
 
     config = load_config("configs/audio.yml")
-    cfg = ModelConfig.from_config(config)
-    # production inference dtype (sampling.dtype, bf16 by default — the
-    # sampler's update math stays fp32; 54 dB SNR vs fp32 final samples)
-    sdtype = getattr(config.sampling, "dtype", None)
-    if sdtype:
-        import dataclasses
-
-        from ddim_audio_tpu.config import resolve_dtype
-
-        cfg = dataclasses.replace(cfg, dtype=resolve_dtype(sdtype))
-    # the remaining inference-only knobs, exactly as the runner applies
-    # them (diffusion_runner.py:59-76): int8 activation storage (opt-in)
-    # and int8 MXU taps (production default, sampling.tap_int8)
-    astore = getattr(config.sampling, "act_store", None)
-    if astore:
-        import dataclasses
-
-        cfg = dataclasses.replace(cfg, act_store=str(astore))
-    if bool(getattr(config.sampling, "tap_int8", False)):
-        import dataclasses
-
-        cfg = dataclasses.replace(cfg, tap_int8=True)
+    # ALL production inference overrides (sampling.dtype bf16, act_store,
+    # tap_int8) via the shared helper — the same path the runner serves
+    cfg = production_eval_cfg(config, ModelConfig.from_config(config))
     sched = make_schedule(
         config.diffusion.beta_schedule,
         config.diffusion.beta_start,

@@ -26,21 +26,10 @@ def main():
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 1
     config = load_config(os.path.join(os.path.dirname(__file__), "..",
                                       "configs", "audio.yml"))
-    cfg = ModelConfig.from_config(config)
-    # Apply the sampling-section overrides exactly as the runner does
-    # (diffusion_runner.py:47-76): production sampling = bf16 compute +
-    # int8 activation storage + int8 MXU taps.
-    import dataclasses
-
-    from ddim_audio_tpu.config import resolve_dtype
-    sdtype = getattr(config.sampling, "dtype", None)
-    if sdtype:
-        cfg = dataclasses.replace(cfg, dtype=resolve_dtype(sdtype))
-    astore = getattr(config.sampling, "act_store", None)
-    if astore:
-        cfg = dataclasses.replace(cfg, act_store=str(astore))
-    if bool(getattr(config.sampling, "tap_int8", False)):
-        cfg = dataclasses.replace(cfg, tap_int8=True)
+    # The sampling-section overrides via the shared production helper —
+    # the same config the runner serves and bench.py measures.
+    from ddim_audio_tpu.config import production_eval_cfg
+    cfg = production_eval_cfg(config, ModelConfig.from_config(config))
     params = init_model(jax.random.key(0), cfg)
     t = jnp.full((batch,), 500, jnp.int32)
     xf = jax.random.normal(

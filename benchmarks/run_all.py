@@ -33,7 +33,7 @@ def main():
     except Exception:
         pass
 
-    from ddim_audio_tpu.config import load_config
+    from ddim_audio_tpu.config import load_config, production_eval_cfg
     from ddim_audio_tpu.diffusion.schedules import (
         make_schedule,
         make_timestep_subsequence,
@@ -44,17 +44,11 @@ def main():
 
     config = load_config("configs/audio.yml")
     cfg = ModelConfig.from_config(config)
-    # sampling rows run the production inference dtype (sampling.dtype,
-    # bf16 by default — sampler update math stays fp32); the train row
-    # keeps model.dtype
-    eval_cfg = cfg
-    sdtype = getattr(config.sampling, "dtype", None)
-    if sdtype:
-        import dataclasses
-
-        from ddim_audio_tpu.config import resolve_dtype
-
-        eval_cfg = dataclasses.replace(cfg, dtype=resolve_dtype(sdtype))
+    # Sampling rows run ALL production inference overrides (sampling.dtype,
+    # act_store, tap_int8) through the shared helper — exactly the config
+    # the runner serves and bench.py measures; the train row keeps
+    # model.dtype.
+    eval_cfg = production_eval_cfg(config, cfg)
     sched = make_schedule(
         config.diffusion.beta_schedule,
         config.diffusion.beta_start,

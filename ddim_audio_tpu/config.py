@@ -38,6 +38,37 @@ def resolve_dtype(name):
     return jnp.dtype(name)
 
 
+def production_eval_cfg(config, model_cfg):
+    """Apply the sampling-section inference-only overrides to a ModelConfig.
+
+    THE single code path that builds the production eval config — the runner
+    (``runners/diffusion_runner.py``), ``bench.py``, ``benchmarks/run_all.py``
+    and the slope benchmarks all call this, so the measured path can never
+    silently diverge from the served path again. Overrides (all inference
+    only; training numerics untouched):
+
+    - ``sampling.dtype``: compute dtype for the denoiser (bf16 production);
+      sampler update math stays fp32.
+    - ``sampling.act_store``: activation storage precision for the flat
+      Pallas path ("int8" stores stage activations as int8 + per-tile
+      scales — the forward is bandwidth-sensitive).
+    - ``sampling.tap_int8``: int8×int8→int32 conv taps on the MXU for the
+      lane-padded C ≤ 64 resblocks.
+    """
+    import dataclasses
+
+    cfg = model_cfg
+    sdtype = getattr(config.sampling, "dtype", None)
+    if sdtype:
+        cfg = dataclasses.replace(cfg, dtype=resolve_dtype(sdtype))
+    astore = getattr(config.sampling, "act_store", None)
+    if astore:
+        cfg = dataclasses.replace(cfg, act_store=str(astore))
+    if bool(getattr(config.sampling, "tap_int8", False)):
+        cfg = dataclasses.replace(cfg, tap_int8=True)
+    return cfg
+
+
 def load_config(path: str):
     with open(path, "r") as f:
         raw = yaml.safe_load(f)
