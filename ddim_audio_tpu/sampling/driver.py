@@ -40,16 +40,34 @@ def selected_steps(num_steps: int, select_index) -> list[int]:
 
 
 def _chunk_plan(num_steps, selected, scan_chunk, max_slots):
-    """Greedy chunking: each chunk ≤ scan_chunk steps and ≤ max_slots kept."""
+    """Greedy chunking into HOMOGENEOUS runs of kept or non-kept steps,
+    each ≤ scan_chunk steps and ≤ max_slots kept.
+
+    Splitting at every kept↔non-kept transition means non-kept stretches run
+    the buffer-free fast program: a buffered chunk never pays the
+    state_to_saved transpose + two full-state buffer writes for steps that
+    would land in the trash slot (at ``--sequence 10`` over 100 steps that
+    was ~90 wasted write pairs — the trajectory row carried ~2.5× the
+    last-only row's compute). Sparse selections cost a few extra chunk
+    dispatches (gap lengths are near-uniform for linspace selections, so
+    only ~2 distinct fast-chunk programs compile)."""
     sel = set(selected)
     chunks = []  # (start, stop, [kept indices])
     start = 0
     kept = []
+    run_kept = False  # whether the current run consists of kept steps
     for k in range(num_steps):
-        if k - start >= scan_chunk or len(kept) >= max_slots:
+        is_kept = k in sel
+        if k > start and (
+            k - start >= scan_chunk
+            or len(kept) >= max_slots
+            or is_kept != run_kept
+        ):
             chunks.append((start, k, kept))
             start, kept = k, []
-        if k in sel:
+        if k == start:
+            run_kept = is_kept
+        if is_kept:
             kept.append(k)
     chunks.append((start, num_steps, kept))
     return [c for c in chunks if c[1] > c[0]]

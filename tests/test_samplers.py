@@ -79,9 +79,39 @@ def test_select_index_semantics():
     xs_sel, x0_sel = s.sample(x, seq, SCHED, eta=0.0, select_index=sel)
     kept = selected_steps(len(seq), sel)
     assert len(xs_sel) == len(kept) + 1
+    # sparse selections route non-kept stretches through the buffer-free
+    # fast program whose XLA fusion differs in the last bit from the
+    # buffered one — semantics match, bit patterns may not
     for out_i, k in enumerate(kept):
-        np.testing.assert_allclose(xs_sel[1 + out_i], xs_all[1 + k], atol=1e-6)
-        np.testing.assert_allclose(x0_sel[out_i], x0_all[k], atol=1e-6)
+        np.testing.assert_allclose(xs_sel[1 + out_i], xs_all[1 + k], atol=2e-5)
+        np.testing.assert_allclose(x0_sel[out_i], x0_all[k], atol=2e-5)
+
+
+def test_chunk_plan_homogeneous_runs():
+    """The plan splits at kept↔non-kept transitions (so non-kept stretches
+    run the buffer-free fast program) while covering every step exactly
+    once, in order, under the scan_chunk / max_slots limits."""
+    from ddim_audio_tpu.sampling.driver import _chunk_plan
+
+    for num_steps, sel, scan_chunk, max_slots in [
+        (100, list(range(10, 100, 11)), 100, 1000),  # --sequence ~10
+        (100, list(range(100)), 25, 7),              # --sequence -1
+        (17, [], 5, 3),                              # nothing kept
+        (13, [0, 1, 2, 12], 4, 2),                   # runs + limits
+        (1, [0], 100, 100),
+    ]:
+        plan = _chunk_plan(num_steps, sel, scan_chunk, max_slots)
+        sel_set = set(sel)
+        # exact ordered cover
+        assert plan[0][0] == 0 and plan[-1][1] == num_steps
+        for (s0, e0, _), (s1, _, _) in zip(plan, plan[1:]):
+            assert e0 == s1
+        for start, stop, kept in plan:
+            assert stop - start <= scan_chunk
+            assert len(kept) <= max_slots
+            assert kept == [k for k in range(start, stop) if k in sel_set]
+            # homogeneous: a chunk is all-kept or all-non-kept
+            assert len(kept) in (0, stop - start)
 
 
 def test_sample_last_matches_full():
@@ -285,7 +315,8 @@ def test_ddpm_trajectory_parity(ref_setup):
         np.testing.assert_allclose(a, b, atol=5e-3)
 
 
-@pytest.mark.parametrize("eta", [0.0, 1.0])
+@pytest.mark.parametrize(
+    "eta", [0.0, pytest.param(1.0, marks=pytest.mark.heavy)])
 def test_flat_io_sampling_matches_nchw(eta):
     """The flat-io sampler state (channel-padded [B, T, F·ch0] carried
     across steps — runners/_sampler_for_state / bench.py) produces
