@@ -182,11 +182,13 @@ def conv3x3_flat_t(x, w, add, *, c: int):
     return _conv_op(c)(x, w, add)
 
 
-def _gn_fwd_parts(x, gamma, beta, f, c):
+def _gn_fwd_parts(x, gamma, beta, f, c, sp_axis=None):
     # Strictly 2-D/[B, FC] arithmetic: a 5-D (b, t, f, G, cpg) reshape view
     # forces XLA into tiny-minor-dim padded layouts (measured 9.1× memory
     # expansion and a 4 GB temp at train scale) — all full-size work stays
     # on the [B, T, F·C] layout; group folds happen on [B, FC] partials.
+    # sp_axis: statistics become GLOBAL over a sharded T axis — the [B, G]
+    # group folds are psum'd over the mesh axis (sequence parallelism).
     b, t, fc = x.shape
     cpg = c // GROUPS
     n = t * f * cpg
@@ -195,6 +197,10 @@ def _gn_fwd_parts(x, gamma, beta, f, c):
     s2 = jnp.einsum("btk,btk->bk", xf, xf)
     s1g = s1.reshape(b, f, GROUPS, cpg).sum(axis=(1, 3))  # [B, G] (tiny)
     s2g = s2.reshape(b, f, GROUPS, cpg).sum(axis=(1, 3))
+    if sp_axis is not None:
+        s1g = jax.lax.psum(s1g, sp_axis)
+        s2g = jax.lax.psum(s2g, sp_axis)
+        n = n * jax.lax.axis_size(sp_axis)
     mean = s1g / n
     var = s2g / n - jnp.square(mean)
     rstd = jax.lax.rsqrt(jnp.maximum(var, 0.0) + EPS)
@@ -209,7 +215,7 @@ def _gn_fwd_parts(x, gamma, beta, f, c):
 
 
 @functools.cache
-def _gn_op(f: int, c: int, has_beta: bool):
+def _gn_op(f: int, c: int, has_beta: bool, sp_axis=None):
     """Differentiable GroupNorm over flat [B, T, F·C] with an ANALYTIC
     backward (autodiff through the two-pass mean/var emits ~6 full-array
     passes; the closed form is 2: one fused (Σdy, Σdy·x) reduction + the
@@ -217,14 +223,21 @@ def _gn_op(f: int, c: int, has_beta: bool):
 
     dx = rstd·(γ·dy − S₁/N − x̂·S₂/N) per group, with S₁ = Σ γ·dy,
     S₂ = Σ γ·dy·x̂; dγ = Σ_{b,t,f} dy·x̂, dβ = Σ dy — all derived from the
-    per-lane partials Σ_t dy and Σ_t dy·x."""
+    per-lane partials Σ_t dy and Σ_t dy·x.
+
+    sp_axis (sequence parallelism): fwd stats AND the bwd S₁/S₂ folds are
+    psum'd over the mesh axis, while dγ/dβ stay LOCAL partial sums — the
+    custom VJP executes its collectives directly instead of relying on
+    autodiff transposing raw psums (which over-counts under shard_map
+    check_vma=False); the SP train step psums the per-device partial param
+    grads once at the end (training/train_step.py)."""
 
     @jax.custom_vjp
     def op(gamma, beta, x):
-        return _gn_fwd_parts(x, gamma, beta, f, c)[0]
+        return _gn_fwd_parts(x, gamma, beta, f, c, sp_axis)[0]
 
     def fwd(gamma, beta, x):
-        out, mean, rstd = _gn_fwd_parts(x, gamma, beta, f, c)
+        out, mean, rstd = _gn_fwd_parts(x, gamma, beta, f, c, sp_axis)
         return out, (x, gamma, mean, rstd)
 
     def bwd(res, dy):
@@ -232,6 +245,8 @@ def _gn_op(f: int, c: int, has_beta: bool):
         b, t, fc = x.shape
         cpg = c // GROUPS
         n = t * f * cpg
+        if sp_axis is not None:
+            n = n * jax.lax.axis_size(sp_axis)
         xf = x.astype(jnp.float32)
         dyf = dy.astype(jnp.float32)
         # one fused pass over (dy, x): per-lane partials over T
@@ -241,7 +256,11 @@ def _gn_op(f: int, c: int, has_beta: bool):
         gamma_lane = jnp.tile(gamma, f)[None]  # [1, FC]
 
         def fold(a):
-            return (a * gamma_lane).reshape(b, f, GROUPS, cpg).sum(axis=(1, 3))
+            folded = (a * gamma_lane).reshape(b, f, GROUPS, cpg).sum(
+                axis=(1, 3))
+            if sp_axis is not None:
+                folded = jax.lax.psum(folded, sp_axis)
+            return folded
 
         s1 = fold(sd)  # Σ γ·dy         [B, G]
         s2 = rstd * (fold(sdx) - mean * s1)  # Σ γ·dy·x̂
@@ -269,15 +288,16 @@ def _gn_op(f: int, c: int, has_beta: bool):
     return op
 
 
-def gn_flat(pnorm, x, *, f: int, c: int):
+def gn_flat(pnorm, x, *, f: int, c: int, sp_axis=None):
     """Differentiable GroupNorm over flat [B, T, F·C] (reductions read
     through bitcast reshapes; no NHWC materialization; analytic backward).
-    Matches torch.nn.GroupNorm(8, C, eps=1e-6)."""
+    Matches torch.nn.GroupNorm(8, C, eps=1e-6). sp_axis: global statistics
+    over a sharded T axis (collectives executed inside the custom VJP)."""
     gamma = pnorm["g"].astype(jnp.float32)
     beta = pnorm.get("b")
     if beta is not None:
         beta = beta.astype(jnp.float32)
-    return _gn_op(f, c, beta is not None)(gamma, beta, x)
+    return _gn_op(f, c, beta is not None, sp_axis)(gamma, beta, x)
 
 
 def resblock_flat_train(p, x_flat, temb, *, f: int, c: int):

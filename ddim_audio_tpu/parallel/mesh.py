@@ -34,11 +34,24 @@ def make_mesh(parallel_cfg=None):
     return Mesh(devices, ("dp", "sp"))
 
 
-def shard_batch(mesh, x):
-    """Shard the leading (batch) axis over dp; replicate over sp."""
+def shard_batch(mesh, x, *, time_axis=None):
+    """Shard the leading (batch) axis over dp; with ``time_axis`` also
+    shard that axis over sp (the explicit SP train step's input layout).
+    Axes that don't divide evenly stay replicated."""
     if mesh is None:
         return x
-    return jax.device_put(x, NamedSharding(mesh, P("dp")))
+    spec = [None] * x.ndim
+    if "dp" in mesh.shape and x.shape[0] % mesh.shape["dp"] == 0:
+        spec[0] = "dp"
+    if (
+        time_axis is not None
+        and mesh.shape.get("sp", 1) > 1
+        and x.shape[time_axis] % mesh.shape["sp"] == 0
+    ):
+        spec[time_axis] = "sp"
+    while spec and spec[-1] is None:  # canonical form (P("dp") == target)
+        spec.pop()
+    return jax.device_put(x, NamedSharding(mesh, P(*spec)))
 
 
 def shard_params(mesh, params):

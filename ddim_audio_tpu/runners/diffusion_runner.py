@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 
 from ..checkpoint import checkpoint_path, load_checkpoint, save_checkpoint
-from ..config import resolve_dtype
+from ..config import production_eval_cfg
 from ..data.audio_dataset import batch_iterator, get_dataset
 from ..data.codec import limit_length_img, pfft2img, pfft2wav
 from ..diffusion.schedules import make_schedule, make_timestep_subsequence
@@ -44,36 +44,10 @@ class Diffusion:
         self.args = args
         self.config = config
         self.model_cfg = ModelConfig.from_config(config)
-        # sampling.dtype overrides the compute dtype for inference only
-        # (e.g. bfloat16 sampling over fp32 training — 107 vs 147 ms/forward
-        # at [1,2,8192,256], BASELINE.md)
-        sdtype = getattr(config.sampling, "dtype", None)
-        if sdtype:
-            import dataclasses
-
-            self.eval_cfg = dataclasses.replace(
-                self.model_cfg, dtype=resolve_dtype(sdtype)
-            )
-        else:
-            self.eval_cfg = self.model_cfg
-        # sampling.act_store: "int8" stores flat-path stage activations as
-        # int8 + per-tile scales during sampling (the forward is
-        # HBM-bandwidth-bound; storage precision is the perf axis —
-        # BASELINE.md). Inference-only; training numerics are untouched.
-        astore = getattr(config.sampling, "act_store", None)
-        if astore:
-            import dataclasses
-
-            self.eval_cfg = dataclasses.replace(
-                self.eval_cfg, act_store=str(astore)
-            )
-        # sampling.tap_int8: int8 × int8 → int32 conv taps on the MXU during
-        # sampling (the hot convs are MXU-bound at the lane-padded widths —
-        # BASELINE.md round-3 measurements). Inference-only.
-        if bool(getattr(config.sampling, "tap_int8", False)):
-            import dataclasses
-
-            self.eval_cfg = dataclasses.replace(self.eval_cfg, tap_int8=True)
+        # Inference-only sampling overrides (dtype / act_store / tap_int8)
+        # come from THE shared helper so the runner, bench.py and
+        # benchmarks/run_all.py can never diverge (config.py).
+        self.eval_cfg = production_eval_cfg(config, self.model_cfg)
         self.schedule = make_schedule(
             config.diffusion.beta_schedule,
             config.diffusion.beta_start,
@@ -81,24 +55,16 @@ class Diffusion:
             config.diffusion.num_diffusion_timesteps,
         )
         self.num_timesteps = self.schedule.num_timesteps
+        # Every mesh shape keeps the flat Pallas kernels valid (GSPMD cannot
+        # partition custom calls, so both paths are explicit shard_maps):
+        # dp-only — sampling wraps the denoiser (_wrap_dp), training runs
+        # per-device grads + pmean (make_train_step(mesh=)); sp>1 —
+        # sampling routes through the SP forward (parallel/sp.apply_model_sp:
+        # halo-exchanged kernels per time-shard, psum'd GroupNorm stats) and
+        # training through the differentiable SP step (sp_local_train_forward
+        # under make_train_step(mesh=), round 4 — sp>1 training used to
+        # force conv_impl="xla").
         self.mesh = make_mesh(getattr(config, "parallel", None))
-        if self.mesh is not None and self.mesh.shape.get("sp", 1) > 1:
-            # GSPMD cannot auto-partition Pallas custom calls, so the sp>1
-            # TRAIN step (GSPMD with sharding constraints) runs XLA convs.
-            # SAMPLING keeps the flat kernels: _denoise_for routes sp>1
-            # meshes through the explicit shard_map SP forward
-            # (parallel/sp.apply_model_sp), which hosts the Pallas resblock
-            # kernels per time-shard with halo exchanges and psum'd stats.
-            # dp-only meshes keep the flat kernels everywhere: sampling
-            # wraps the denoiser in shard_map (_wrap_dp) and the TRAIN step
-            # computes per-device grads under shard_map + pmean
-            # (training.train_step make_train_step(mesh=)).
-            import dataclasses
-
-            if self.model_cfg.conv_impl == "auto":
-                self.model_cfg = dataclasses.replace(
-                    self.model_cfg, conv_impl="xla"
-                )
 
     # ------------------------------------------------------------------ train
 
@@ -117,17 +83,13 @@ class Diffusion:
         state, tx = init_train_state(
             params, config.optimization, use_ema=bool(config.model.ema)
         )
-        # dp-only meshes: per-device grads under shard_map + pmean keeps
-        # the flat Pallas kernels valid (GSPMD can't partition custom
-        # calls); sp>1 meshes use the GSPMD path with XLA convs.
-        dp_mesh = (
-            self.mesh
-            if self.mesh is not None and self.mesh.shape.get("sp", 1) == 1
-            else None
-        )
+        # The mesh-aware shard_map train step keeps the flat Pallas kernels
+        # valid per device: dp-only = per-device grads + pmean; sp>1 = the
+        # differentiable sharded-T forward with halo-exchange custom VJPs
+        # (training/train_step.py, parallel/sp.py).
         train_step = make_train_step(
             self.model_cfg, config, self.schedule.alphas_cumprod, tx,
-            mesh=dp_mesh,
+            mesh=self.mesh,
         )
 
         start_epoch, step = 0, 0
@@ -200,7 +162,9 @@ class Diffusion:
             pending.clear()
 
         def run_step(x, epoch, step):
-            x = shard_batch(self.mesh, jnp.asarray(x))
+            # [B, C, T, F]: batch over dp, time over sp (the SP train step's
+            # shard_map layout; a no-op placement hint on dp-only meshes)
+            x = shard_batch(self.mesh, jnp.asarray(x), time_axis=2)
             nonlocal state
             state, metrics = train_step(state, x, rng_root)
             if step % log_freq == 0:
@@ -300,19 +264,36 @@ class Diffusion:
     def _denoise_for(self, batch: int):
         """NCHW denoise fn for a given batch size. sp>1 meshes run the
         explicit shard_map SP forward (time-sharded convs with halo
-        exchanges; flat Pallas kernels per shard — parallel/sp.py); dp-only
-        meshes shard the batch (_wrap_dp)."""
+        exchanges; flat Pallas kernels per shard — parallel/sp.py); its
+        ``params`` argument is the (params, packed taps) bundle built by
+        ``_sampler_params`` so weight packing happens ONCE per weight set,
+        not inside the sampler's scan body. dp-only meshes shard the batch
+        (_wrap_dp)."""
         mesh = self.mesh
         if mesh is not None and mesh.shape.get("sp", 1) > 1:
             from ..parallel.sp import apply_model_sp
 
             cfg = self.eval_cfg
 
-            def fn(params, x, t):
-                return apply_model_sp(params, x, t, cfg, mesh)
+            def fn(bundle, x, t):
+                params, packed = bundle
+                return apply_model_sp(params, x, t, cfg, mesh, packed=packed)
 
             return fn
         return self._wrap_dp(self._denoise_fn, batch)
+
+    def _sampler_params(self, params, t_total: int):
+        """The value sample paths pass as the sampler's ``params``: on sp>1
+        meshes, (params, eagerly pre-packed tap blocks) — scan-invariant
+        explicit arguments, packed once (ADVICE round 3: packing inside the
+        scan body re-emitted the packers' scatter chains per step)."""
+        mesh = self.mesh
+        if mesh is not None and mesh.shape.get("sp", 1) > 1:
+            from ..parallel.sp import sp_sampling_bundle
+
+            return (params,
+                    sp_sampling_bundle(params, self.eval_cfg, mesh, t_total))
+        return params
 
     def sample(self):
         args = self.args
@@ -477,7 +458,8 @@ class Diffusion:
         sampler, x_state, finalize = self._sampler_for_state(x)
         out = sampler.sample_last(
             x_state, seq, self.schedule, eta=args.eta,
-            key=jax.random.key(args.seed + 1), params=params,
+            key=jax.random.key(args.seed + 1),
+            params=self._sampler_params(params, x.shape[2]),
         )
         out = finalize(out)
         if config.sampling.denoise:
@@ -574,7 +556,7 @@ class Diffusion:
             eta=args.eta,
             select_index=select_index,
             key=jax.random.key(args.seed + 1),
-            params=params,
+            params=self._sampler_params(params, x.shape[2]),
             # fp16 kept-state buffers (sampling.buffer_dtype, default
             # float16): halves HBM + device→host transfer — the dominant
             # cost of --sequence sampling over the remote-TPU tunnel;

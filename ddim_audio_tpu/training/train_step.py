@@ -88,7 +88,19 @@ def make_train_step(cfg, config, alphas_cumprod, tx, mesh=None):
     them; the optimizer/EMA update happens on replicated values. Microbatch
     g of device i draws noise from fold_in(e_key, i·A + g), so a dp×A run
     computes the same gradient as a single-device grad_accum dp·A run.
-    Meshes with sp>1 take the GSPMD path (pass mesh=None)."""
+
+    ``mesh`` with sp>1 (the explicit sequence-parallel TRAIN step): the
+    batch shards over dp AND the time axis over sp in one shard_map; each
+    device runs the differentiable SP-local forward
+    (parallel/sp.sp_local_train_forward — halo-exchanged flat Pallas convs
+    with custom VJPs, globally-psum'd GroupNorm, gathered bottleneck), the
+    ε-loss's per-sample (C, T, F) sum is completed with a psum over sp, and
+    the per-device PARTIAL param grads (the custom-VJP collectives'
+    convention) are psum'd over sp then pmean'd over dp. Noise for
+    microbatch g of dp-device i is the SAME full-T array a single-device
+    grad_accum dp·A run draws (fold_in(e_key, i·A + g)), sliced to the
+    local T window — so dp×sp×A and single-device runs compute the same
+    gradient (tested on the virtual mesh)."""
     loss_fn_impl = loss_registry[config.model.type]
     # cfg.num_timesteps is the single source of truth (it sizes the timestep
     # embedding table); config.diffusion must agree with it by construction.
@@ -99,12 +111,12 @@ def make_train_step(cfg, config, alphas_cumprod, tx, mesh=None):
     grad_accum = int(getattr(config.training, "grad_accum", 1) or 1)
     alphas = jnp.asarray(alphas_cumprod, jnp.float32)
     dp = None
+    sp = 1
+    has_dp_axis = False
     if mesh is not None:
-        if mesh.shape.get("sp", 1) != 1:
-            raise ValueError(
-                "make_train_step(mesh=) is the dp-only shard_map path; "
-                "sp>1 meshes use GSPMD (mesh=None + sharded inputs)")
-        dp = mesh.shape["dp"]
+        has_dp_axis = "dp" in mesh.shape
+        dp = mesh.shape.get("dp", 1)
+        sp = mesh.shape.get("sp", 1)
 
     def train_step(state: TrainState, x0, rng_root):
         rng = jax.random.fold_in(rng_root, state.step)
@@ -112,26 +124,31 @@ def make_train_step(cfg, config, alphas_cumprod, tx, mesh=None):
         n = x0.shape[0]
         t = antithetic_timesteps(t_key, n, num_timesteps)
 
-        def accum_folded(params, x0_p, t_p, g0, a_steps):
+        def default_micro_loss(p, x0_mb, t_mb, e_mb, d_mb):
+            def apply_fn(pp, x, tt):
+                return apply_model(pp, x, tt, cfg, train=True, rng=d_mb)
+
+            return loss_fn_impl(apply_fn, p, x0_mb, t_mb, e_mb, alphas)
+
+        def default_draw_e(idx, x0_mb):
+            return jax.random.normal(
+                jax.random.fold_in(e_key, idx), x0_mb.shape, x0_mb.dtype)
+
+        def accum_folded(params, x0_p, t_p, g0, a_steps, *,
+                         micro_loss=default_micro_loss,
+                         draw_e=default_draw_e):
             """Mean (loss, grads) over a_steps microbatches of x0_p; micro
-            g draws its noise from fold_in(e_key, g0 + g) and its dropout
+            g draws its noise via draw_e(fold index g0 + g) and its dropout
             key from fold_in(d_key, g0 + g) — global microbatch indices, so
             a dp×A mesh run and a single-device grad_accum dp·A run compute
             the SAME gradient."""
-            def micro_loss(p, x0_mb, t_mb, e_mb, d_mb):
-                def apply_fn(pp, x, tt):
-                    return apply_model(pp, x, tt, cfg, train=True, rng=d_mb)
-
-                return loss_fn_impl(apply_fn, p, x0_mb, t_mb, e_mb, alphas)
-
             m = x0_p.shape[0]
             if m % a_steps != 0:
                 raise ValueError(
                     f"batch {m} not divisible by grad_accum {a_steps}")
             mb = m // a_steps
             if a_steps == 1:
-                e = jax.random.normal(
-                    jax.random.fold_in(e_key, g0), x0_p.shape, x0_p.dtype)
+                e = draw_e(g0, x0_p)
                 return jax.value_and_grad(micro_loss)(
                     params, x0_p, t_p, e, jax.random.fold_in(d_key, g0))
             x0_mbs = x0_p.reshape((a_steps, mb) + x0_p.shape[1:])
@@ -140,9 +157,7 @@ def make_train_step(cfg, config, alphas_cumprod, tx, mesh=None):
             def body(carry, inp):
                 loss_sum, grad_sum = carry
                 x0_mb, t_mb, i = inp
-                e_mb = jax.random.normal(
-                    jax.random.fold_in(e_key, g0 + i), x0_mb.shape, x0_mb.dtype
-                )
+                e_mb = draw_e(g0 + i, x0_mb)
                 loss_i, g_i = jax.value_and_grad(micro_loss)(
                     params, x0_mb, t_mb, e_mb,
                     jax.random.fold_in(d_key, g0 + i),
@@ -159,7 +174,67 @@ def make_train_step(cfg, config, alphas_cumprod, tx, mesh=None):
             return (loss_sum / a_steps,
                     jax.tree_util.tree_map(lambda g: g / a_steps, grad_sum))
 
-        if dp is not None and n % dp == 0:
+        if sp > 1 and n % dp == 0 and x0.shape[2] % sp == 0:
+            from jax.sharding import PartitionSpec as P
+
+            from ..parallel.sp import (
+                SP_AXIS,
+                flat_train_flags,
+                psum_keep_sp,
+                sp_local_train_forward,
+            )
+
+            flags = flat_train_flags(cfg, x0.shape[2], sp)
+
+            def sp_local_fn(params, x0_l, t_l):
+                # x0_l: [B/dp, C, T/sp, F]
+                t_loc = x0_l.shape[2]
+                si = jax.lax.axis_index(SP_AXIS)
+                di = (jax.lax.axis_index("dp").astype(jnp.uint32)
+                      if dp > 1 else jnp.uint32(0))
+
+                def micro_loss(p, x0_mb, t_mb, e_mb, d_mb):
+                    # the reference ε-loss (functions/losses.py:4-18) with
+                    # its (C, T, F) sum completed across the sp shards
+                    a = alphas[t_mb][:, None, None, None].astype(x0_mb.dtype)
+                    xt = x0_mb * jnp.sqrt(a) + e_mb * jnp.sqrt(1.0 - a)
+                    eps = sp_local_train_forward(
+                        p, xt, t_mb, d_mb, cfg=cfg, flags=flags)
+                    partial = jnp.square(e_mb - eps).sum(axis=(1, 2, 3))
+                    return psum_keep_sp(partial).mean(axis=0)
+
+                def draw_e(idx, x0_mb):
+                    # the SAME full-T noise a single-device run draws,
+                    # sliced to this shard's T window
+                    full = jax.random.normal(
+                        jax.random.fold_in(e_key, idx),
+                        x0_mb.shape[:2] + (t_loc * sp,) + x0_mb.shape[3:],
+                        x0_mb.dtype)
+                    return jax.lax.dynamic_slice_in_dim(
+                        full, si * t_loc, t_loc, axis=2)
+
+                loss_l, grads_l = accum_folded(
+                    params, x0_l, t_l,
+                    di * grad_accum, grad_accum,
+                    micro_loss=micro_loss, draw_e=draw_e,
+                )
+                # per-device param grads are PARTIAL sums (the custom-VJP
+                # collectives' convention, parallel/sp.py) — one psum over
+                # sp completes them; dp averages as usual
+                grads = jax.lax.psum(grads_l, SP_AXIS)
+                if dp > 1:
+                    grads = jax.lax.pmean(grads, "dp")
+                    loss_l = jax.lax.pmean(loss_l, "dp")
+                return loss_l, grads
+
+            dpax = "dp" if has_dp_axis else None
+            loss, grads = jax.shard_map(
+                sp_local_fn, mesh=mesh,
+                in_specs=(P(), P(dpax, None, SP_AXIS, None), P(dpax)),
+                out_specs=(P(), P()),
+                check_vma=False,
+            )(state.params, x0, t)
+        elif dp is not None and n % dp == 0:
             from jax.sharding import PartitionSpec as P
 
             def local_fn(params, x0_l, t_l):

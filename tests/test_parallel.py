@@ -21,6 +21,7 @@ def sp_mesh():
     return Mesh(devices, ("sp",))
 
 
+@pytest.mark.heavy
 def test_sp_forward_matches_single_device(tiny_cfg, sp_mesh):
     params = init_model(jax.random.key(0), tiny_cfg)
     x = jax.random.normal(jax.random.key(1), (2, 2, 32, 16))
@@ -42,6 +43,7 @@ def test_sp_forward_jitted(tiny_cfg, sp_mesh):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)
 
 
+@pytest.mark.heavy
 def test_sp_forward_flat_kernels_match(tiny_cfg):
     """The SP forward HOSTS the flat Pallas kernels per time-shard
     (interpret mode on the CPU mesh): conv_impl="pallas" under an sp=2 mesh
@@ -68,6 +70,7 @@ def test_sp_forward_flat_kernels_match(tiny_cfg):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)
 
 
+@pytest.mark.heavy
 def test_sp_forward_dp_sp_mesh(tiny_cfg):
     """apply_model_sp on a dp×sp mesh shards the batch over dp and T over
     sp in one shard_map."""
@@ -103,6 +106,7 @@ def test_make_mesh_and_shard_batch():
         make_mesh(dict2namespace({"dp": 16, "sp": 1}))
 
 
+@pytest.mark.heavy
 def test_dp_train_step_matches_single_device(tiny_cfg):
     """The jitted train step with a dp-sharded batch produces the same loss
     and params as unsharded execution (XLA inserts the collectives)."""
@@ -138,6 +142,7 @@ def test_dp_train_step_matches_single_device(tiny_cfg):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
 
+@pytest.mark.heavy
 def test_graft_entry_dryrun():
     import __graft_entry__ as g
 
@@ -195,6 +200,7 @@ def test_multihost_helpers(monkeypatch):
         multihost.host_batch_slice(9)
 
 
+@pytest.mark.heavy
 def test_dp_shard_map_train_matches_grad_accum(tiny_cfg):
     """make_train_step(mesh=) — per-device grads under shard_map + pmean —
     computes the same update as a single-device grad_accum=dp run: device
@@ -236,6 +242,7 @@ def test_dp_shard_map_train_matches_grad_accum(tiny_cfg):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
 
+@pytest.mark.heavy
 def test_dp_shard_map_train_runs_flat_kernels(tiny_cfg):
     """The dp shard_map train step keeps the flat Pallas kernels valid
     per-device (interpret mode on the CPU mesh): conv_impl="pallas" under
@@ -283,6 +290,108 @@ def test_dp_shard_map_train_runs_flat_kernels(tiny_cfg):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
 
 
+@pytest.mark.heavy
+def test_sp_train_step_matches_single_device(tiny_cfg):
+    """The explicit-SP TRAIN step — shard_map over (dp, sp) with the
+    differentiable SP forward (halo convs, custom-VJP psum'd GroupNorm,
+    gathered bottleneck) — computes the same loss and parameter update as
+    an unsharded run: sp shards draw the same full-T noise a single device
+    draws and slice their window; partial param grads psum once over sp.
+    Reference train loop being scaled: runners/diffusion.py:130-199."""
+    from ddim_audio_tpu.config import load_config
+    from ddim_audio_tpu.diffusion.schedules import make_schedule
+    from ddim_audio_tpu.training import init_train_state, make_train_step
+
+    config = load_config("configs/audio_tiny.yml")
+    sched = make_schedule("linear", 1e-4, 0.02, tiny_cfg.num_timesteps)
+    x = jax.random.normal(jax.random.key(1), (2, 2, 16, 16)) * 0.5
+    rng = jax.random.key(9)
+
+    def run(mesh_shape, accum):
+        params = init_model(jax.random.key(0), tiny_cfg)
+        state, tx = init_train_state(params, config.optimization, use_ema=True)
+        if mesh_shape is None:
+            mesh_arg = None
+        else:
+            devices = mesh_utils.create_device_mesh(
+                mesh_shape, jax.devices()[: mesh_shape[0] * mesh_shape[1]])
+            mesh_arg = Mesh(devices, ("dp", "sp"))
+        config.training.grad_accum = accum
+        step = make_train_step(
+            tiny_cfg, config, sched.alphas_cumprod, tx, mesh=mesh_arg)
+        config.training.grad_accum = 1
+        state, m = step(state, x, rng)
+        return float(m["loss"]), state.params
+
+    # pairs that share the folded noise/dropout indices: microbatch g of
+    # dp-device i folds e_key/d_key at i·A + g (the mesh paths' convention;
+    # the unsharded accum=1 fast path deliberately keeps its round-1
+    # unfolded draw and is not comparable here)
+    for base_args, sp_args in (
+        (((1, 1), 1), ((1, 2), 1)),   # sp=2 vs the same folded single run
+        ((None, 2), ((2, 2), 1)),     # dp×sp vs single-device grad_accum 2
+    ):
+        base_loss, base_params = run(*base_args)
+        sp_loss, sp_params = run(*sp_args)
+        assert base_loss == pytest.approx(sp_loss, rel=1e-5), (base_args,
+                                                               sp_args)
+        for a, b in zip(
+            jax.tree_util.tree_leaves(base_params),
+            jax.tree_util.tree_leaves(sp_params),
+        ):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=2e-5)
+
+
+@pytest.mark.heavy
+def test_sp_train_step_runs_flat_kernels(tiny_cfg):
+    """sp>1 training KEEPS the flat Pallas kernels (interpret mode on the
+    CPU mesh): conv_impl="pallas" under an sp=2 mesh — halo-exchanged
+    custom-VJP convs per time-shard — produces the same update as
+    conv_impl="xla". This was the round-3 gap: the runner used to force
+    XLA convs for any sp>1 mesh (the one remaining {dp, sp} × {sample,
+    train} × {XLA, Pallas} cell)."""
+    import dataclasses
+
+    from jax.experimental.pallas import tpu as pltpu
+
+    from ddim_audio_tpu.config import load_config
+    from ddim_audio_tpu.diffusion.schedules import make_schedule
+    from ddim_audio_tpu.training import init_train_state, make_train_step
+
+    config = load_config("configs/audio_tiny.yml")
+    sched = make_schedule("linear", 1e-4, 0.02, tiny_cfg.num_timesteps)
+    devices = mesh_utils.create_device_mesh((1, 2), jax.devices()[:2])
+    mesh = Mesh(devices, ("dp", "sp"))
+    x = jax.random.normal(jax.random.key(1), (2, 2, 16, 16)) * 0.5
+    rng = jax.random.key(9)
+
+    results = []
+    for impl in ("xla", "pallas"):
+        # remat=False: interpret-mode pallas calls carry an OrderedIOEffect
+        # that jit+checkpoint partial-eval rejects (hardware pallas calls
+        # are effect-free — the TPU train step runs remat + flat kernels)
+        cfg = dataclasses.replace(tiny_cfg, conv_impl=impl, remat=False)
+        params = init_model(jax.random.key(0), cfg)
+        state, tx = init_train_state(params, config.optimization, use_ema=True)
+        step = make_train_step(cfg, config, sched.alphas_cumprod, tx,
+                               mesh=mesh)
+        if impl == "pallas":
+            with pltpu.force_tpu_interpret_mode():
+                state, m = step(state, x, rng)
+        else:
+            state, m = step(state, x, rng)
+        results.append((float(m["loss"]), state.params))
+
+    assert results[0][0] == pytest.approx(results[1][0], rel=1e-4)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(results[0][1]),
+        jax.tree_util.tree_leaves(results[1][1]),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+@pytest.mark.heavy
 def test_multihost_two_process_smoke(tmp_path):
     """A REAL 2-process jax.distributed bring-up (no monkeypatching): two
     CPU subprocesses connect through multihost.initialize with a local
@@ -349,6 +458,123 @@ def test_multihost_two_process_smoke(tmp_path):
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"process {i} failed:\n{out}"
         assert f"MULTIHOST_OK {i}" in out, out
+
+
+@pytest.mark.heavy
+def test_multihost_two_process_train_step(tmp_path, tiny_cfg):
+    """A REAL cross-process TRAIN step: two jax.distributed CPU processes
+    (1 device each) build the dp mesh over their combined devices, run
+    make_train_step(mesh=) on host-sharded batches, and every process
+    verifies the resulting loss AND every updated parameter leaf against a
+    single-process reference (grad_accum=2 — the proven-equivalent folded
+    noise indices). This backs parallel/multihost.py's 'same Mesh-based
+    code runs unchanged multi-host' claim with an executed training step,
+    not just an all-reduce."""
+    import socket
+    import subprocess
+    import sys
+    import textwrap
+
+    from ddim_audio_tpu.config import load_config
+    from ddim_audio_tpu.diffusion.schedules import make_schedule
+    from ddim_audio_tpu.training import init_train_state, make_train_step
+
+    # single-process reference: grad_accum=2 == dp=2 folded indices
+    # (test_dp_shard_map_train_matches_grad_accum)
+    config = load_config("configs/audio_tiny.yml")
+    sched = make_schedule("linear", 1e-4, 0.02, tiny_cfg.num_timesteps)
+    params = init_model(jax.random.key(0), tiny_cfg)
+    state, tx = init_train_state(params, config.optimization, use_ema=True)
+    config.training.grad_accum = 2
+    step = make_train_step(tiny_cfg, config, sched.alphas_cumprod, tx)
+    config.training.grad_accum = 1
+    x = jax.random.normal(jax.random.key(1), (2, 2, 8, 16)) * 0.5
+    state, m = step(state, x, jax.random.key(9))
+    leaves = {f"p{i}": np.asarray(l) for i, l in
+              enumerate(jax.tree_util.tree_leaves(state.params))}
+    ref_file = tmp_path / "expected.npz"
+    np.savez(ref_file, loss=float(m["loss"]), **leaves)
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+
+    child = tmp_path / "child_train.py"
+    child.write_text(textwrap.dedent(f"""
+        import os, sys
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+        sys.path.insert(0, {repr(str(_REPO_ROOT))})
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_default_matmul_precision", "highest")
+        pid = int(sys.argv[1])
+        import numpy as np
+        import jax.numpy as jnp
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+        from ddim_audio_tpu.parallel import multihost
+        from ddim_audio_tpu.config import load_config
+        from ddim_audio_tpu.diffusion.schedules import make_schedule
+        from ddim_audio_tpu.models.unet import init_model
+        from ddim_audio_tpu.training import init_train_state, make_train_step
+        from tests.conftest import tiny_model_config
+
+        multihost.initialize("127.0.0.1:{port}", num_processes=2,
+                             process_id=pid)
+        assert jax.process_count() == 2 and jax.device_count() == 2
+        mesh = Mesh(np.array(jax.devices()), ("dp",))
+
+        cfg = tiny_model_config()
+        config = load_config("configs/audio_tiny.yml")
+        sched = make_schedule("linear", 1e-4, 0.02, cfg.num_timesteps)
+        params = init_model(jax.random.key(0), cfg)
+        state, tx = init_train_state(params, config.optimization,
+                                     use_ema=True)
+        step = make_train_step(cfg, config, sched.alphas_cumprod, tx,
+                               mesh=mesh)
+
+        # every process holds the same full batch; each contributes its
+        # host shard to the dp-sharded global array
+        x = np.asarray(jax.random.normal(jax.random.key(1), (2, 2, 8, 16))
+                       ) * 0.5
+        sl = multihost.host_batch_slice(2)
+        xg = multihost.global_array_from_host_shards(mesh, x[sl], 2)
+        rep = NamedSharding(mesh, P())
+        state = jax.tree_util.tree_map(
+            lambda a: jax.make_array_from_process_local_data(
+                rep, np.asarray(a), np.asarray(a).shape), state)
+        state, m = step(state, xg, jax.random.key(9))
+
+        exp = np.load({repr(str(ref_file))})
+        loss = float(np.asarray(m["loss"].addressable_data(0)))
+        assert abs(loss - float(exp["loss"])) < 1e-4 * (
+            1 + abs(float(exp["loss"]))), (loss, float(exp["loss"]))
+        for i, leaf in enumerate(jax.tree_util.tree_leaves(state.params)):
+            got = np.asarray(leaf.addressable_data(0))
+            np.testing.assert_allclose(got, exp[f"p{{i}}"], atol=1e-5)
+        print("MULTIHOST_TRAIN_OK", pid, flush=True)
+    """))
+
+    env = {k: v for k, v in __import__("os").environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    procs = [
+        subprocess.Popen([sys.executable, str(child), str(i)],
+                         stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                         env=env, text=True)
+        for i in range(2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=420)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out)
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"process {i} failed:\n{out}"
+        assert f"MULTIHOST_TRAIN_OK {i}" in out, out
 
 
 import os as _os
