@@ -142,6 +142,7 @@ def test_bf16_sampling_dtype_override(workspace, tmp_path):
     assert len([f for f in os.listdir(img_dir) if f.endswith(".wav")]) == 2
 
 
+@pytest.mark.heavy
 def test_validation_freq_cli(workspace, tmp_path):
     """training.validation_freq (configs/audio.yml:74 — a dead knob in the
     reference) periodically evaluates the held-out split during training."""

@@ -324,6 +324,7 @@ def test_full_model_full_flat_path_matches_xla():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)
 
 
+@pytest.mark.heavy
 def test_full_model_train_grads_flat_vs_xla():
     """Training gradients through the flat custom-VJP resblocks equal the
     XLA path's gradients for the whole model (loss → every param leaf)."""
@@ -806,6 +807,7 @@ def test_resblock_flat_int8_chain_matches_float():
     assert snr(ref, out) > 35, snr(ref, out)
 
 
+@pytest.mark.heavy
 def test_full_model_int8_act_store():
     """act_store="int8" on the full flat pipeline: end-to-end output tracks
     the fp32 XLA model at int8-quantization noise."""
