@@ -65,6 +65,8 @@ def main():
     combos = [
         ("bf16            ", dict(dtype=jnp.bfloat16)),
         ("tap_int8        ", dict(dtype=jnp.bfloat16, tap_int8=True)),
+        ("tap+strided_int8", dict(dtype=jnp.bfloat16, tap_int8=True,
+                                  strided_int8=True)),
         ("act_int8        ", dict(dtype=jnp.bfloat16, act_store="int8")),
         ("tap+act_int8    ", dict(dtype=jnp.bfloat16, tap_int8=True,
                                   act_store="int8")),

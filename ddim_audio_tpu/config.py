@@ -66,6 +66,10 @@ def production_eval_cfg(config, model_cfg):
         cfg = dataclasses.replace(cfg, act_store=str(astore))
     if bool(getattr(config.sampling, "tap_int8", False)):
         cfg = dataclasses.replace(cfg, tap_int8=True)
+    # measured near-dead-end (−0.15 ms for −1.3 dB, BASELINE.md round 4);
+    # off by default, available for compute-bound geometries
+    if bool(getattr(config.sampling, "strided_int8", False)):
+        cfg = dataclasses.replace(cfg, strided_int8=True)
     return cfg
 
 

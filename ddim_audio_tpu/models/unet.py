@@ -87,6 +87,11 @@ class ModelConfig:
     # perf axis at those widths; C ≥ 128 stages keep cfg.dtype taps (fpp=1
     # is unpadded and the requant pass costs more than it saves).
     tap_int8: bool = False
+    # int8 taps for the 12-format STRIDED transitions (the s0↔s1 pair).
+    # Measured near-dead-end on v5e (round 4, BASELINE.md): −0.15 ms
+    # forward for −1.3 dB (the per-tile requant VPU passes eat the halved
+    # MXU time) — off by default, kept for compute-bound future geometries.
+    strided_int8: bool = False
 
     @classmethod
     def from_config(cls, config):
@@ -106,6 +111,7 @@ class ModelConfig:
             conv_impl=getattr(m, "conv_impl", "auto"),
             act_store=getattr(m, "act_store", None),
             tap_int8=bool(getattr(m, "tap_int8", False)),
+            strided_int8=bool(getattr(m, "strided_int8", False)),
         )
 
     def __hash__(self):
@@ -115,6 +121,7 @@ class ModelConfig:
         return hash((self.channels, self.f_size, self.ch, self.krn, self.res,
                      self.num_timesteps, str(self.dtype), self.remat,
                      self.conv_impl, self.act_store, self.tap_int8,
+                     self.strided_int8,
                      repr(vars(self.transformers)) if self.transformers else ""))
 
     def __eq__(self, other):
@@ -503,7 +510,10 @@ def _apply_model_flat_core(params, xf, temb_chunks, cfg: ModelConfig):
         conv_down_flat,
         conv_up_flat,
         pack_down_weights,
+        pack_down_weights_int8,
         pack_up_weights,
+        pack_up_weights_int8,
+        strided_int8_profitable,
     )
 
     compute_dtype = cfg.dtype
@@ -599,10 +609,18 @@ def _apply_model_flat_core(params, xf, temb_chunks, cfg: ModelConfig):
                 "fused GroupNorm-stats source"
             )
         if "down" in stage:
-            w2 = pack_down_weights(stage["down"]["w"], compute_dtype)
+            # int8 MXU taps for the 12-format transitions (the s0↔s1 pair:
+            # ~1.5 ms of its 2.2 ms is 25%-dense tap matmuls) under the
+            # same production knob as the resblock taps
+            if cfg.strided_int8 and strided_int8_profitable(prev, c):
+                w2, ws = pack_down_weights_int8(stage["down"]["w"])
+                dkw = {"mxu_int8": True, "w_scale": ws}
+            else:
+                w2 = pack_down_weights(stage["down"]["w"], compute_dtype)
+                dkw = {}
             hf, s1, s2 = conv_down_flat(
                 hf, w2, stage["down"]["b"], c_in=prev, c_out=c,
-                want_stats=True,
+                want_stats=True, **dkw,
             )
             stats = (s1, s2)
             t //= 2
@@ -641,10 +659,17 @@ def _apply_model_flat_core(params, xf, temb_chunks, cfg: ModelConfig):
             hf = hf + hidden.pop()
         hf = run_blocks_flat(stage, hf, f, c, stats)
         if "up" in stage:
-            w2 = pack_up_weights(stage["up"]["w"], compute_dtype)
+            if cfg.strided_int8 and strided_int8_profitable(
+                c, chs[idx - 1], up=True
+            ):
+                w2, ws = pack_up_weights_int8(stage["up"]["w"])
+                ukw = {"mxu_int8": True, "w_scale": ws}
+            else:
+                w2 = pack_up_weights(stage["up"]["w"], compute_dtype)
+                ukw = {}
             hf, s1, s2 = conv_up_flat(
                 hf, w2, stage["up"]["b"], c_in=c, c_out=chs[idx - 1],
-                residual=hidden.pop(), want_stats=True,
+                residual=hidden.pop(), want_stats=True, **ukw,
             )
             stats = (s1, s2)
             t *= 2

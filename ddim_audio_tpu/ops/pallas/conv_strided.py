@@ -105,6 +105,52 @@ def pack_down_weights12(w):
     return _pack_down(w, False)
 
 
+def strided_int8_profitable(c_in: int, c_out: int, up: bool = False) -> bool:
+    """True where int8 × int8 → int32 taps beat the float tap scheme for a
+    strided transition: exactly the 12-format geometries (LS ≥ S — no slim
+    carry available), where the tap blocks are C_in/S ≤ 50% dense and the
+    MXU pays the padding at full width. At audio.yml scale that is the
+    s0↔s1 pair (down 32→64, up 64→32) — ~1.5 ms of its measured 2.2 ms is
+    tap matmuls, and int8 runs them at 2× the bf16 rate. Slim-format
+    transitions (e.g. 64→96) already cut the executed width below what
+    int8-on-12-format would run."""
+    if up:
+        q, _ = up_plan(c_in, c_out)
+        return _slim_width(c_in) >= q
+    _, s = down_plan(c_in, c_out)
+    return _slim_width(c_in) >= s
+
+
+def pack_down_weights_int8(w):
+    """w [4, 4, C_in, C_out] → (int8 [12·S, P] tap blocks, fp32 [P]
+    per-lane dequant scales). Symmetric per-output-channel quantization
+    (scale rides the kernel's per-lane rescale of the int32 accumulator),
+    mirroring conv_flat.pack_conv_weights_int8. 12-format only — see
+    strided_int8_profitable."""
+    kh, kw, c_in, c_out = w.shape
+    assert kh == 4 and kw == 4
+    p, _ = down_plan(c_in, c_out)
+    w32 = jnp.asarray(w, jnp.float32)
+    amax = jnp.max(jnp.abs(w32), axis=(0, 1, 2))  # [C_out]
+    s_w = jnp.maximum(amax, 1e-30) / 127.0
+    wq = jnp.clip(jnp.round(w32 / s_w[None, None, None, :]), -127.0, 127.0)
+    return _pack_down(wq, False).astype(jnp.int8), jnp.tile(s_w, p // c_out)
+
+
+def pack_up_weights_int8(w):
+    """w [4, 4, C_in, C_out] (equivalent-forward-conv layout, see
+    pack_up_weights) → (int8 [12·Q, P_s] blocks, fp32 [P_s] per-lane
+    scales)."""
+    kh, kw, c_in, c_out = w.shape
+    assert kh == 4 and kw == 4
+    _, p_s = up_plan(c_in, c_out)
+    w32 = jnp.asarray(w, jnp.float32)
+    amax = jnp.max(jnp.abs(w32), axis=(0, 1, 2))
+    s_w = jnp.maximum(amax, 1e-30) / 127.0
+    wq = jnp.clip(jnp.round(w32 / s_w[None, None, None, :]), -127.0, 127.0)
+    return _pack_up(wq, False).astype(jnp.int8), jnp.tile(s_w, p_s // c_out)
+
+
 def _pack_down(w, slim: bool):
     kh, kw, c_in, c_out = w.shape
     p, s = down_plan(c_in, c_out)
@@ -133,15 +179,21 @@ def _pack_down(w, slim: bool):
     return w2
 
 
-def _down_kernel(refs, *, tile_t, r, s, p, ls, n_t, want_stats):
+def _down_kernel(refs, *, tile_t, r, s, p, ls, n_t, want_stats, mxu_i8):
     it = iter(refs)
     x_ref, top_ref, bot_ref = next(it), next(it), next(it)
     w_ref = next(it)
+    wsc_ref = next(it) if mxu_i8 else None
     b_ref = next(it)
     out_ref = next(it)
     stats_ref = next(it) if want_stats else None
     se = next(it)
     so = next(it)
+    # int8 taps: separate requant buffers per time-parity stream (both
+    # share ONE per-tile symmetric scale so the int32 accumulators of taps
+    # from either stream combine before the single rescale)
+    qe = next(it) if mxu_i8 else None
+    qo = next(it) if mxu_i8 else None
 
     i = pl.program_id(1)
     m = tile_t * r
@@ -175,14 +227,37 @@ def _down_kernel(refs, *, tile_t, r, s, p, ls, n_t, want_stats):
     first_mask = gidx == 0
     last_mask = gidx == r - 1
 
+    if mxu_i8:
+        # per-tile symmetric requant of both streams (halos included so
+        # every tap operand shares the scale); taps then run
+        # int8 × int8 → int32 at 2× the bf16 MXU rate — the 12-format tap
+        # blocks are only C_in/S dense, so the MXU padding tax halves.
+        # Only rows [h−r, h+m+r) are ever WRITTEN by the assembly (deeper
+        # scratch rows are uninitialized — reading them into the amax
+        # would poison the scale); taps READ one row beyond on each side,
+        # so quantize [h−r−1, h+m+r+1) — the two unwritten edge rows are
+        # garbage-but-finite int8 that only masked partial sums touch.
+        ve = se[h - r : h + m + r, :].astype(jnp.float32)
+        vo = so[h - r : h + m + r, :].astype(jnp.float32)
+        am = jnp.maximum(jnp.max(jnp.abs(ve)), jnp.max(jnp.abs(vo)))
+        amax_t = jnp.maximum(am, 1e-30)
+        s_q = amax_t * (1.0 / 127.0)
+        for src, dst in ((se, qe), (so, qo)):
+            v = src[h - r - 1 : h + m + r + 1, :].astype(jnp.float32)
+            dst[h - r - 1 : h + m + r + 1, :] = jnp.clip(
+                jnp.round(v * (127.0 / amax_t)), -127.0, 127.0
+            ).astype(jnp.int8)
+
     # f-boundary masks land POST-matmul (a tap maps input row r+δ to output
     # row r one-to-one, so zeroing invalid input rows ≡ zeroing the dq = ±1
     # partial sums on period-first/last output rows) — no per-tap masked
     # operand copies.
-    acc = jnp.zeros((m, p), jnp.float32)
-    lo = jnp.zeros((m, p), jnp.float32)
-    hi = jnp.zeros((m, p), jnp.float32)
-    stream = {0: so, 1: se, 2: so, 3: se}
+    acc_t = jnp.int32 if mxu_i8 else jnp.float32
+    acc = jnp.zeros((m, p), acc_t)
+    lo = jnp.zeros((m, p), acc_t)
+    hi = jnp.zeros((m, p), acc_t)
+    stream = ({0: qo, 1: qe, 2: qo, 3: qe} if mxu_i8
+              else {0: so, 1: se, 2: so, 3: se})
     tshift = {0: -r, 1: 0, 2: 0, 3: r}
     for dt in range(4):
         sc = stream[dt]
@@ -212,7 +287,7 @@ def _down_kernel(refs, *, tile_t, r, s, p, ls, n_t, want_stats):
                 rows = sc[h + delta : h + delta + m, :]
                 j = dt * 3 + dq + 1
                 tgt = jnp.dot(rows, w_ref[j * s : (j + 1) * s, :],
-                              preferred_element_type=jnp.float32)
+                              preferred_element_type=acc_t)
                 if dq == -1:
                     lo = lo + tgt
                 elif dq == 1:
@@ -220,10 +295,14 @@ def _down_kernel(refs, *, tile_t, r, s, p, ls, n_t, want_stats):
                 else:
                     acc = acc + tgt
 
-    zf = jnp.zeros((), jnp.float32)
+    zf = jnp.zeros((), acc_t)
     acc = (acc + jnp.where(first_mask, zf, lo)
            + jnp.where(last_mask, zf, hi))
-    out = acc + b_ref[0]
+    if mxu_i8:
+        # int32 → fp32 with the combined tile × per-lane weight scale
+        out = acc.astype(jnp.float32) * (s_q * wsc_ref[0]) + b_ref[0]
+    else:
+        out = acc + b_ref[0]
     out_ref[0] = out.astype(out_ref.dtype)
 
     if stats_ref is not None:
@@ -241,14 +320,27 @@ def _down_kernel(refs, *, tile_t, r, s, p, ls, n_t, want_stats):
 
 
 def conv_down_flat(x, w2, bias, *, c_in: int, c_out: int | None = None,
-                   tile_t: int | None = None, want_stats: bool = False):
+                   tile_t: int | None = None, want_stats: bool = False,
+                   mxu_int8: bool = False, w_scale=None):
     """x: [B, T, F·C_in] → [B, T/2, (F/2)·C_out]. w2: packed taps
     (pack_down_weights — [12·S, P] or the slim [4·S + 8·LS, P] format).
-    bias: [C_out] fp32 (or a pre-tiled [P] period pattern)."""
+    bias: [C_out] fp32 (or a pre-tiled [P] period pattern).
+
+    mxu_int8=True runs the taps as int8 × int8 → int32 on the MXU (per-tile
+    symmetric input requant shared across both time-parity streams; int8
+    packed weights + per-lane w_scale from pack_down_weights_int8). Only
+    the 12-format geometries profit — see strided_int8_profitable."""
     bsz, t, fc_in = x.shape
     c_out = 2 * c_in if c_out is None else c_out
     p, s = down_plan(c_in, c_out)
     ls = _slim_width(c_in)
+    if mxu_int8:
+        if ls < s:
+            raise ValueError("mxu_int8 requires the 12-format geometry "
+                             "(strided_int8_profitable)")
+        if w_scale is None or w2.dtype != jnp.dtype(jnp.int8):
+            raise ValueError("mxu_int8 requires int8 packed weights + "
+                             "w_scale (pack_down_weights_int8)")
     want_rows = 4 * s + 8 * ls if ls < s else 12 * s
     if w2.shape[0] != want_rows:
         raise ValueError(
@@ -286,9 +378,14 @@ def conv_down_flat(x, w2, bias, *, c_in: int, c_out: int | None = None,
                                                     t // 2 - 1), 0),
                        memory_space=pltpu.VMEM)
     in_specs = [main, top, bot,
-                pl.BlockSpec(memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, p), lambda b, i: (0, 0),
-                             memory_space=pltpu.VMEM)]
+                pl.BlockSpec(memory_space=pltpu.VMEM)]
+    args = [xv, xv, xv, w2]
+    if mxu_int8:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+        args.append(jnp.asarray(w_scale, jnp.float32)[None, :])
+    in_specs.append(pl.BlockSpec((1, p), lambda b, i: (0, 0),
+                                 memory_space=pltpu.VMEM))
+    args.append(bias)
 
     out_specs = pl.BlockSpec((1, tile_t * r, p), lambda b, i: (b, i, 0),
                              memory_space=pltpu.VMEM)
@@ -300,19 +397,26 @@ def conv_down_flat(x, w2, bias, *, c_in: int, c_out: int | None = None,
         out_shape = (out_shape,
                      jax.ShapeDtypeStruct((bsz, 2, r, p), jnp.float32))
 
+    scratch_shapes = [
+        pltpu.VMEM(((tile_t + 4) * r, s), x.dtype),
+        pltpu.VMEM(((tile_t + 4) * r, s), x.dtype),
+    ]
+    if mxu_int8:
+        scratch_shapes += [
+            pltpu.VMEM(((tile_t + 4) * r, s), jnp.int8),
+            pltpu.VMEM(((tile_t + 4) * r, s), jnp.int8),
+        ]
     kern = functools.partial(_down_kernel, tile_t=tile_t, r=r, s=s, p=p,
-                             ls=ls, n_t=n_t, want_stats=want_stats)
+                             ls=ls, n_t=n_t, want_stats=want_stats,
+                             mxu_i8=mxu_int8)
     result = pl.pallas_call(
         lambda *refs: kern(refs),
         grid=(bsz, n_t),
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
-        scratch_shapes=[
-            pltpu.VMEM(((tile_t + 4) * r, s), x.dtype),
-            pltpu.VMEM(((tile_t + 4) * r, s), x.dtype),
-        ],
-    )(xv, xv, xv, w2, bias)
+        scratch_shapes=scratch_shapes,
+    )(*args)
     if want_stats:
         out, stats = result
         return (out.reshape(bsz, t_out, fc_out),
@@ -405,15 +509,18 @@ def _pack_up(w, slim: bool):
     return w2
 
 
-def _up_kernel(refs, *, tile_t, r, q, p_s, ls, n_t, has_res, want_stats):
+def _up_kernel(refs, *, tile_t, r, q, p_s, ls, n_t, has_res, want_stats,
+               mxu_i8):
     it = iter(refs)
     x_ref, top_ref, bot_ref = next(it), next(it), next(it)
     w_ref = next(it)
+    wsc_ref = next(it) if mxu_i8 else None
     b_ref = next(it)
     res_ref = next(it) if has_res else None
     out_ref = next(it)
     stats_ref = next(it) if want_stats else None
     sc = next(it)
+    qsc = next(it) if mxu_i8 else None
 
     i = pl.program_id(1)
     m = tile_t * r
@@ -431,6 +538,15 @@ def _up_kernel(refs, *, tile_t, r, q, p_s, ls, n_t, has_res, want_stats):
     def _():
         sc[h + m :, :] = jnp.zeros((h, q), sc.dtype)
 
+    if mxu_i8:
+        # per-tile symmetric input requant (halos included); both output
+        # streams read the same int8 operand, one rescale each
+        v = sc[:, :].astype(jnp.float32)
+        amax_t = jnp.maximum(jnp.max(jnp.abs(v)), 1e-30)
+        s_q = amax_t * (1.0 / 127.0)
+        qsc[:, :] = jnp.clip(jnp.round(v * (127.0 / amax_t)),
+                             -127.0, 127.0).astype(jnp.int8)
+
     gidx = jax.lax.broadcasted_iota(jnp.int32, (m, 1), 0) % r
     first_mask = gidx == 0
     last_mask = gidx == r - 1
@@ -439,14 +555,16 @@ def _up_kernel(refs, *, tile_t, r, q, p_s, ls, n_t, has_res, want_stats):
     if stats_ref is not None:
         s1_acc = jnp.zeros((r, p_s), jnp.float32)
         s2_acc = jnp.zeros((r, p_s), jnp.float32)
+    acc_t = jnp.int32 if mxu_i8 else jnp.float32
+    operand = qsc if mxu_i8 else sc
     for stream in (0, 1):
         # f-boundary masks land POST-matmul (one-to-one row mapping per
         # tap); slim format (ls < q) reads the dq = ±1 bands through
         # aligned lane slices against [LS, P_s] blocks — see
         # pack_up_weights.
-        acc = jnp.zeros((m, p_s), jnp.float32)
-        lo = jnp.zeros((m, p_s), jnp.float32)
-        hi = jnp.zeros((m, p_s), jnp.float32)
+        acc = jnp.zeros((m, p_s), acc_t)
+        lo = jnp.zeros((m, p_s), acc_t)
+        hi = jnp.zeros((m, p_s), acc_t)
         for local_dt in (0, 1):
             delta0 = tshift[stream][local_dt]
             j2 = stream * 2 + local_dt
@@ -469,20 +587,23 @@ def _up_kernel(refs, *, tile_t, r, q, p_s, ls, n_t, has_res, want_stats):
             else:
                 for dq in (-1, 0, 1):
                     delta = delta0 + dq
-                    rows = sc[h + delta : h + delta + m, :]
+                    rows = operand[h + delta : h + delta + m, :]
                     j = stream * 6 + local_dt * 3 + dq + 1
                     part = jnp.dot(rows, w_ref[j * q : (j + 1) * q, :],
-                                   preferred_element_type=jnp.float32)
+                                   preferred_element_type=acc_t)
                     if dq == -1:
                         lo = lo + part
                     elif dq == 1:
                         hi = hi + part
                     else:
                         acc = acc + part
-        zf = jnp.zeros((), jnp.float32)
+        zf = jnp.zeros((), acc_t)
         acc = (acc + jnp.where(first_mask, zf, lo)
                + jnp.where(last_mask, zf, hi))
-        out = acc + b_ref[0]
+        if mxu_i8:
+            out = acc.astype(jnp.float32) * (s_q * wsc_ref[0]) + b_ref[0]
+        else:
+            out = acc + b_ref[0]
         # interleave the time-parity streams with banded in-VMEM writes
         # (output time row 2m+stream is R contiguous view rows) — no
         # host-side transpose pass. The skip-connection residual (the
@@ -512,7 +633,8 @@ def _up_kernel(refs, *, tile_t, r, q, p_s, ls, n_t, has_res, want_stats):
 
 def conv_up_flat(x, w2, bias, *, c_in: int, c_out: int,
                  tile_t: int | None = None, residual=None,
-                 want_stats: bool = False):
+                 want_stats: bool = False,
+                 mxu_int8: bool = False, w_scale=None):
     """x: [B, T, F·C_in] → [B, 2T, (2F)·C_out] (torch ConvTranspose2d k4 s2
     p1 semantics). w2: packed taps (pack_up_weights — [12·Q, P_s] or the
     slim [4·Q + 8·LS, P_s] format); bias: [C_out] fp32 (or [P_s]).
@@ -520,10 +642,19 @@ def conv_up_flat(x, w2, bias, *, c_in: int, c_out: int,
     residual: optional [B, 2T, (2F)·C_out] skip tensor added to the output
     inside the kernel (the U-Net up-path `up(h) + hidden` fused for free).
     want_stats: also return per-lane (sum, sum²) of the fp32 (summed)
-    output — the next GroupNorm's statistics with no extra HBM pass."""
+    output — the next GroupNorm's statistics with no extra HBM pass.
+    mxu_int8: int8 × int8 → int32 taps (12-format geometries only — see
+    strided_int8_profitable; weights from pack_up_weights_int8)."""
     bsz, t, fc_in = x.shape
     q, p_s = up_plan(c_in, c_out)
     ls = _slim_width(c_in)
+    if mxu_int8:
+        if ls < q:
+            raise ValueError("mxu_int8 requires the 12-format geometry "
+                             "(strided_int8_profitable)")
+        if w_scale is None or w2.dtype != jnp.dtype(jnp.int8):
+            raise ValueError("mxu_int8 requires int8 packed weights + "
+                             "w_scale (pack_up_weights_int8)")
     want_rows = 4 * q + 8 * ls if ls < q else 12 * q
     if w2.shape[0] != want_rows:
         raise ValueError(
@@ -559,9 +690,14 @@ def conv_up_flat(x, w2, bias, *, c_in: int, c_out: int,
                      lambda b, i: (b, jnp.minimum((i + 1) * ht, t // 2 - 1), 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec(memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, p_s), lambda b, i: (0, 0), memory_space=pltpu.VMEM),
     ]
-    args = [xv, xv, xv, w2, bias]
+    args = [xv, xv, xv, w2]
+    if mxu_int8:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+        args.append(jnp.asarray(w_scale, jnp.float32)[None, :])
+    in_specs.append(pl.BlockSpec((1, p_s), lambda b, i: (0, 0),
+                                 memory_space=pltpu.VMEM))
+    args.append(bias)
     if residual is not None:
         in_specs.append(
             pl.BlockSpec((1, 2 * tile_t * r, p_s), lambda b, i: (b, i, 0),
@@ -570,7 +706,7 @@ def conv_up_flat(x, w2, bias, *, c_in: int, c_out: int,
         args.append(residual.reshape(bsz, 2 * t * r, p_s))
     kern = functools.partial(_up_kernel, tile_t=tile_t, r=r, q=q, p_s=p_s,
                              ls=ls, n_t=n_t, has_res=residual is not None,
-                             want_stats=want_stats)
+                             want_stats=want_stats, mxu_i8=mxu_int8)
     out_specs = pl.BlockSpec((1, 2 * tile_t * r, p_s),
                              lambda b, i: (b, i, 0),
                              memory_space=pltpu.VMEM)
@@ -583,13 +719,16 @@ def conv_up_flat(x, w2, bias, *, c_in: int, c_out: int,
         )
         out_shape = (out_shape,
                      jax.ShapeDtypeStruct((bsz, 2, r, p_s), jnp.float32))
+    scratch_shapes = [pltpu.VMEM(((tile_t + 4) * r, q), x.dtype)]
+    if mxu_int8:
+        scratch_shapes.append(pltpu.VMEM(((tile_t + 4) * r, q), jnp.int8))
     result = pl.pallas_call(
         lambda *refs: kern(refs),
         grid=(bsz, n_t),
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
-        scratch_shapes=[pltpu.VMEM(((tile_t + 4) * r, q), x.dtype)],
+        scratch_shapes=scratch_shapes,
     )(*args)
     if want_stats:
         out, stats = result

@@ -189,6 +189,69 @@ def test_up_conv_flat_matches_xla(c_out, c_in, f):
     np.testing.assert_allclose(np.asarray(out), ref, atol=1e-5)
 
 
+def test_strided_int8_taps_snr():
+    """int8 MXU taps for the 12-format strided transitions (the s0↔s1
+    pair): per-tile symmetric input requant shared across both time-parity
+    streams + per-output-channel weight quant. Gate: only 12-format
+    geometries profit (slim formats already shrink the executed width);
+    SNR vs the float kernels is int8-arithmetic bounded."""
+    from ddim_audio_tpu.ops.pallas.conv_strided import (
+        conv_down_flat,
+        conv_up_flat,
+        pack_down_weights,
+        pack_down_weights_int8,
+        pack_up_weights,
+        pack_up_weights_int8,
+        strided_int8_profitable,
+    )
+
+    assert strided_int8_profitable(32, 64)
+    assert strided_int8_profitable(64, 32, up=True)
+    assert not strided_int8_profitable(64, 96)       # slim format
+    assert not strided_int8_profitable(96, 64, up=True)
+
+    def snr(ref, out):
+        ref = np.asarray(ref, np.float64)
+        out = np.asarray(out, np.float64)
+        return 10 * np.log10(
+            (ref ** 2).mean() / ((out - ref) ** 2).mean() + 1e-300)
+
+    rng = np.random.default_rng(3)
+    B, T, f, c_in, c_out = 1, 16, 16, 32, 64
+    x = jnp.asarray(rng.standard_normal((B, T, f * c_in)).astype(np.float32))
+    w = jnp.asarray((rng.standard_normal((4, 4, c_in, c_out)) * 0.1
+                     ).astype(np.float32))
+    bias = jnp.asarray(rng.standard_normal(c_out).astype(np.float32))
+    wq, ws = pack_down_weights_int8(w)
+    assert wq.dtype == jnp.int8 and ws.shape == (128,)
+    with pltpu.force_tpu_interpret_mode():
+        ref = conv_down_flat(x, pack_down_weights(w), bias,
+                             c_in=c_in, c_out=c_out, tile_t=4)
+        out = conv_down_flat(x, wq, bias, c_in=c_in, c_out=c_out, tile_t=4,
+                             mxu_int8=True, w_scale=ws)
+    assert snr(ref, out) > 30, snr(ref, out)
+
+    # up: 64 → 32 at the downsampled resolution, with fused residual+stats
+    xu = jnp.asarray(rng.standard_normal((B, T // 2, (f // 2) * c_out)
+                                         ).astype(np.float32))
+    wu = jnp.asarray((rng.standard_normal((4, 4, c_out, c_in)) * 0.1
+                      ).astype(np.float32))
+    bu = jnp.asarray(rng.standard_normal(c_in).astype(np.float32))
+    res = jnp.asarray(rng.standard_normal((B, T, f * c_in))
+                      .astype(np.float32))
+    wuq, wus = pack_up_weights_int8(wu)
+    with pltpu.force_tpu_interpret_mode():
+        ref, r1, r2 = conv_up_flat(
+            xu, pack_up_weights(wu), bu, c_in=c_out, c_out=c_in, tile_t=4,
+            residual=res, want_stats=True)
+        out, o1, o2 = conv_up_flat(
+            xu, wuq, bu, c_in=c_out, c_out=c_in, tile_t=4,
+            residual=res, want_stats=True, mxu_int8=True, w_scale=wus)
+    assert snr(ref, out) > 30, snr(ref, out)
+    np.testing.assert_allclose(
+        np.asarray(o1), np.asarray(out).sum(axis=1), rtol=1e-4, atol=1e-3)
+
+
 @pytest.mark.parametrize("c,f", [(32, 8), (96, 4)])
 def test_conv_flat_vjp_matches_xla(c, f):
     """Custom-VJP flat conv: value AND grads (x, w, add) match jax.grad of
