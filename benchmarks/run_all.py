@@ -109,19 +109,25 @@ def main():
     # --- row 3: --sequence 10 trajectory (100 steps, 10 kept) -------------
     idx = np.linspace(1, 100, 10, dtype=np.int32)
     select = set((100 - idx).tolist())
-    sampler.sample(  # warm the buffered-chunk compile
-        x, seq100, sched, eta=0.0, select_index=select,
-        key=jax.random.key(3), params=params, buffer_dtype="float16",
-    )
-    t0 = time.time()
-    timings = {}
-    xs, x0s = sampler.sample(
-        x, seq100, sched, eta=0.0, select_index=select,
-        key=jax.random.key(3), params=params, buffer_dtype="float16",
-        timings=timings,
-    )
-    assert len(x0s) == 10
-    emit("row3_sequence10_trajectory_100step", time.time() - t0)
+    # Median of 3 measured runs: the axon tunnel's device→host transfer
+    # channels warm up lazily over the first few kept-state drains (measured:
+    # run 1 after the compile warm-up pays ~2-4× the steady-state transfer
+    # cost; runs 2+ converge to ~4.5 s). A single-shot reading after one
+    # warm-up call mixes that one-off channel setup into the row.
+    runs = []
+    for _ in range(4):  # 1 compile/channel warm-up + 3 measured
+        t0 = time.time()
+        timings = {}
+        xs, x0s = sampler.sample(
+            x, seq100, sched, eta=0.0, select_index=select,
+            key=jax.random.key(3), params=params, buffer_dtype="float16",
+            timings=timings,
+        )
+        assert len(x0s) == 10
+        runs.append((time.time() - t0, timings))
+    # median of the 3 measured
+    total, timings = sorted(runs[1:], key=lambda r: r[0])[1]
+    emit("row3_sequence10_trajectory_100step", total)
     # split: compute vs tunnel transfer (drain), so axon-tunnel transfer
     # variance can't mask compute regressions (and vice versa)
     emit("row3_compute_component", timings["compute_s"])

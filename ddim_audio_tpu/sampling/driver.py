@@ -271,15 +271,27 @@ class ScanSampler:
 
         xs = [np.asarray(sts(x))]
         x0_preds = []
-        pending = None  # (x0_buf, xt_buf) from the previous chunk, in flight
+        # Kept-state buffers stay ON DEVICE until either the end of the run
+        # or the HBM budget forces a drain: a mid-loop host fetch blocks
+        # Python from dispatching the next chunks, and over the remote-TPU
+        # tunnel that stall (≈0.15 s per 16 MB pair) dwarfs the dispatch it
+        # delays — deferring keeps the device queue saturated and accounts
+        # the transfer where it belongs (drain_s). copy_to_host_async
+        # starts each transfer early so the final drain mostly finds
+        # already-landed buffers.
+        pending = []  # [(x0_buf, xt_buf)] in chunk order, still on device
+        pending_bytes = 0
+        buf_pair_bytes = 2 * saved_nbytes
 
         def drain(bufs):
+            nonlocal pending_bytes
             x0_buf, xt_buf = bufs
             x0_host = np.asarray(x0_buf).astype(np.float32, copy=False)
             xt_host = np.asarray(xt_buf).astype(np.float32, copy=False)
             for i in range(x0_host.shape[0]):
                 x0_preds.append(x0_host[i])
                 xs.append(xt_host[i])
+            pending_bytes -= x0_buf.shape[0] * buf_pair_bytes
 
         for start, stop, kept in chunks:
             packed = self._pack(coeffs, start, stop, with_noise)
@@ -304,14 +316,15 @@ class ScanSampler:
                     buf.copy_to_host_async()
                 except Exception:
                     pass  # not all backends expose async copies
-            if pending is not None:
-                drain(pending)  # overlaps with the chunk dispatched above
-            pending = (x0_buf, xt_buf)
+            pending.append((x0_buf, xt_buf))
+            pending_bytes += n_slots * buf_pair_bytes
+            while pending_bytes > _BUFFER_BUDGET_BYTES and len(pending) > 1:
+                drain(pending.pop(0))  # bound HBM for --sequence -1 runs
         if timings is not None:
             float(x[(0,) * x.ndim])  # 1-element host fetch: compute done
             timings["compute_s"] = _time.perf_counter() - t_start
-        if pending is not None:
-            drain(pending)
+        for bufs in pending:
+            drain(bufs)
         if timings is not None:
             timings["drain_s"] = (
                 _time.perf_counter() - t_start - timings["compute_s"]

@@ -71,6 +71,42 @@ def test_sp_forward_flat_kernels_match(tiny_cfg):
 
 
 @pytest.mark.heavy
+def test_sp_forward_flat_kernels_gamma_zero(tiny_cfg):
+    """`_zero_pad_row`'s ridge fallback at a gamma=0 GroupNorm channel.
+
+    With gamma=0 AND beta=0 the fallback is exact: the pad value degrades
+    to v=0 and the prologue still emits silu(0·v+0)=0 at the global
+    boundary, matching the reference's zero conv input. (With gamma=0 and
+    beta≠0 NO pad value can satisfy scale·v+shift=0 — the prologue emits
+    silu(beta) in the two boundary rows, a measure-zero deviation for
+    trained weights, documented in parallel/sp.py:188.) This pins the safe
+    half of that contract so a fallback regression can't silently break
+    the common case."""
+    import dataclasses
+
+    from jax.experimental.pallas import tpu as pltpu
+
+    mesh = Mesh(
+        mesh_utils.create_device_mesh((2,), jax.devices()[:2]), ("sp",)
+    )
+    params = init_model(jax.random.key(0), tiny_cfg)
+    # zero out one gamma channel (beta already 0 at init) in the first
+    # block's first norm — the one whose pad rows feed a halo conv
+    g = params["down_modules"]["stages"][0]["blocks"][0]["norm1"]["g"]
+    params["down_modules"]["stages"][0]["blocks"][0]["norm1"]["g"] = (
+        g.at[0].set(0.0)
+    )
+    x = jax.random.normal(jax.random.key(1), (1, 2, 16, 16))
+    t = jnp.array([3])
+    ref = apply_model(params, x, t, tiny_cfg)
+
+    cfg = dataclasses.replace(tiny_cfg, conv_impl="pallas")
+    with pltpu.force_tpu_interpret_mode():
+        out = apply_model_sp(params, x, t, cfg, mesh)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)
+
+
+@pytest.mark.heavy
 def test_sp_forward_dp_sp_mesh(tiny_cfg):
     """apply_model_sp on a dp×sp mesh shards the batch over dp and T over
     sp in one shard_map."""
