@@ -84,7 +84,7 @@ def _tap_format(fpp: int, p: int, mxu: bool = False) -> str:
 
     "9"    — [9·P, P] blocks, one per (dt, dg) period-row offset (`_pack9`).
              fpp == 1 (C ∈ {128, 256}; the 3×3 f-window maps 1:1 onto the 3
-             row offsets — optimal) and the mxu_int8 path.
+             row offsets — optimal).
     "slim" — fpp ≥ 2 with LS < P, LS = 128·ceil(C/128): [3·P + 6·LS, P].
              The dg = ±1 blocks of the 9-format hold exactly ONE C-wide
              band each (the period-boundary f-offsets o = −1 / o = fpp),
@@ -100,7 +100,12 @@ def _tap_format(fpp: int, p: int, mxu: bool = False) -> str:
     matmuls it saved (fp32 s0 conv 1.88 ms rolled vs ~1.5 ms 9-tap bare;
     the round-2 numbers that justified it carried ~1.4 ms/op of tunnel
     call overhead)."""
-    if mxu or fpp == 1:
+    del mxu  # int8 taps use the same format as float since round 4 (the
+    # slim branch accumulates int32 off the requant buffer directly; at
+    # C = 96 that halves the 5 P-equivalent passes — "9" int8 did 9/2 =
+    # 4.5, no better than slim bf16's 5, which is why int8 lost there
+    # until now)
+    if fpp == 1:
         return "9"
     return "slim" if _slim_width(p // fpp) < p else "9"
 
@@ -131,8 +136,19 @@ def pack_conv_weights(w, dtype=jnp.float32) -> jax.Array:
     fpp = p // c
     if _tap_format(fpp, p) == "9":
         return _pack9(w).astype(dtype)
-    # jnp (traceable) so packing can run inside jit on live params; a
-    # handful of static-index block adds, hoisted out of sampler scan loops.
+    return _pack_slim(w).astype(dtype)
+
+
+def _pack_slim(w) -> jax.Array:
+    """The slim-layout packing loop (fp32), shared by the float and int8
+    packers. jnp (traceable) so packing can run inside jit on live params;
+    a handful of static-index block adds, hoisted out of sampler scan
+    loops. Every (dt, df, fo) entry lands in a distinct cell (o uniquely
+    determines df given fo), so the adds never collide — int8-valued
+    inputs survive the cast back."""
+    kh, kw, c, _ = w.shape
+    p = flat_period(c)
+    fpp = p // c
     ls = _slim_width(c)
     w2 = jnp.zeros((3 * p + 6 * ls, p), jnp.float32)
     for dt in range(3):
@@ -150,20 +166,22 @@ def pack_conv_weights(w, dtype=jnp.float32) -> jax.Array:
                 else:  # o == fpp
                     r0 = 3 * p + 3 * ls + dt * ls
                     w2 = w2.at[r0 : r0 + c, cols].add(wv)
-    return w2.astype(dtype)
+    return w2
 
 
 def tap_int8_profitable(c: int) -> bool:
     """Widths where int8 × int8 → int32 taps beat the float tap scheme
     (measured with the overhead-free two-length protocol,
     benchmarks/bench_kernel_matrix): the fused conv at C=32/64 runs
-    1.79→1.70 / 0.81→0.76 ms at sampling scale — the lane-padded 9-tap
+    1.80→1.69 / 0.82→0.73 ms at sampling scale — the lane-padded 9-tap
     matmuls are the binding cost there and int8 halves their MXU time.
-    C = 96 used to qualify, but the slim-carry bf16 format (0.384 ms)
-    now beats the 9-tap int8 path (0.413 ms) there; C ≥ 128 (fpp = 1,
-    unpadded) always lost (the per-tile requant pass exceeds the MXU
-    saving)."""
-    return c <= 64
+    C = 96 joins in round 4: int8 through the SLIM format (the 9-format
+    int8 path lost there, 0.413 vs slim-bf16's 0.380 ms, because 9/2 =
+    4.5 P-equivalent passes is no better than slim's 5; slim int8 does
+    5/2 = 2.5 and measures 0.287 ms). C ≥ 128 (fpp = 1, unpadded) still
+    loses (0.046→0.043 noise at C=128, worse at 192/256 — the per-tile
+    requant pass exceeds the MXU saving on those small ops)."""
+    return c <= 96
 
 
 def pack_conv_weights_int8(w):
@@ -181,7 +199,10 @@ def pack_conv_weights_int8(w):
     amax = jnp.max(jnp.abs(w32), axis=(0, 1, 2))  # [C] per output channel
     s_w = jnp.maximum(amax, 1e-30) / 127.0
     wq = jnp.clip(jnp.round(w32 / s_w[None, None, None, :]), -127.0, 127.0)
-    w2 = _pack9(wq).astype(jnp.int8)
+    if _tap_format(p // c, p, mxu=True) == "slim":
+        w2 = _pack_slim(wq).astype(jnp.int8)
+    else:
+        w2 = _pack9(wq).astype(jnp.int8)
     return w2, jnp.tile(s_w, p // c)
 
 
@@ -357,34 +378,36 @@ def _conv_kernel(refs, *, tile_t, g, p, fpp, fmt, n_t, has_res, has_pre,
         # path: the o = −1 carry is invalid iff the output row is a
         # period's first, o = fpp iff it is a period's last.
         ls = _slim_width(p // fpp)
+        acc_t = jnp.int32 if mxu_i8 else jnp.float32
+        src = mid_q if mxu_i8 else scratch
         for dt in range(3):
             delta = (dt - 1) * g
             acc = acc + jnp.dot(
-                scratch[h + delta : h + delta + m, :],
+                src[h + delta : h + delta + m, :],
                 w_ref[dt * p : (dt + 1) * p, :],
-                preferred_element_type=jnp.float32,
+                preferred_element_type=acc_t,
             )
-        lo = jnp.zeros((m, p), jnp.float32)
-        hi = jnp.zeros((m, p), jnp.float32)
+        lo = jnp.zeros((m, p), acc_t)
+        hi = jnp.zeros((m, p), acc_t)
         for dt in range(3):
             delta = (dt - 1) * g
             lo = lo + jnp.dot(
-                scratch[h + delta - 1 : h + delta - 1 + m, p - ls :],
+                src[h + delta - 1 : h + delta - 1 + m, p - ls :],
                 w_ref[3 * p + dt * ls : 3 * p + (dt + 1) * ls, :],
-                preferred_element_type=jnp.float32,
+                preferred_element_type=acc_t,
             )
             hi = hi + jnp.dot(
-                scratch[h + delta + 1 : h + delta + 1 + m, 0:ls],
+                src[h + delta + 1 : h + delta + 1 + m, 0:ls],
                 w_ref[3 * p + (3 + dt) * ls : 3 * p + (4 + dt) * ls, :],
-                preferred_element_type=jnp.float32,
+                preferred_element_type=acc_t,
             )
         ri = jax.lax.broadcasted_iota(jnp.int32, (m, 1), 0) % g
-        zf = jnp.zeros((), jnp.float32)
+        zf = jnp.zeros((), acc_t)
         acc = (acc + jnp.where(ri == 0, zf, lo)
                + jnp.where(ri == g - 1, zf, hi))
     else:
-        # 9-tap path (fpp == 1, P == 128 geometries, and every mxu_i8 call
-        # — see _tap_format). All taps read the single unmasked staging
+        # 9-tap path (fpp == 1 and the P == 128 geometries — see
+        # _tap_format). All taps read the single unmasked staging
         # buffer; the f-boundary zeros land post-matmul: the dg=0 taps read
         # source row r−1, which is a period's LAST row exactly when the
         # OUTPUT row r is a period's first (the dt offset is a multiple of

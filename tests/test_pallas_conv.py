@@ -703,16 +703,17 @@ def test_conv_flat_int8_residual():
                            tile_t=4)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
 
-def test_conv_flat_mxu_int8():
+@pytest.mark.parametrize("c,f", [(32, 8), (96, 4)])
+def test_conv_flat_mxu_int8(c, f):
     """mxu_int8: taps run int8 × int8 → int32 on the MXU (per-tile
     activation requant in-kernel + per-output-lane weight scales from
     pack_conv_weights_int8). SNR vs the fp32 kernel is int8-arithmetic
     bounded; the full production chain shape (int8 in, prologue, quant
-    out, stats) stays consistent with the fp32 reference."""
+    out, stats) stays consistent with the fp32 reference. (32, 8)
+    exercises the 9-tap format, (96, 4) the slim-carry format (int8
+    slim taps landed in round 4 — 0.287 vs 0.380 ms bf16 at C=96)."""
     from ddim_audio_tpu.ops.pallas.conv_flat import (
         flat_period, pack_conv_weights_int8)
-
-    c, f = 32, 8
     rng = np.random.default_rng(21)
     B, T = 2, 16
     p = flat_period(c)
