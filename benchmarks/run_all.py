@@ -109,13 +109,17 @@ def main():
     # --- row 3: --sequence 10 trajectory (100 steps, 10 kept) -------------
     idx = np.linspace(1, 100, 10, dtype=np.int32)
     select = set((100 - idx).tolist())
-    # Median of 3 measured runs: the axon tunnel's device→host transfer
-    # channels warm up lazily over the first few kept-state drains (measured:
-    # run 1 after the compile warm-up pays ~2-4× the steady-state transfer
-    # cost; runs 2+ converge to ~4.5 s). A single-shot reading after one
-    # warm-up call mixes that one-off channel setup into the row.
+    # Median of 5 measured runs. Two tunnel effects make single readings
+    # unreliable here (measured, benchmarks/../BASELINE.md row 3 note):
+    # the device→host transfer channels warm up lazily over the first few
+    # kept-state drains (run 1 after the compile warm-up pays ~2-4× the
+    # steady-state transfer cost), and the tunnel sporadically stalls a
+    # whole run by ~+2.5-3 s (steady-state runs measure ~4.7 s total, bad
+    # draws ~7.5 — a median of 3 can land on a stall). 5 measured runs +
+    # the emitted spread keep one bad draw out of the row while still
+    # surfacing the variance.
     runs = []
-    for _ in range(4):  # 1 compile/channel warm-up + 3 measured
+    for _ in range(6):  # 1 compile/channel warm-up + 5 measured
         t0 = time.time()
         timings = {}
         xs, x0s = sampler.sample(
@@ -125,13 +129,15 @@ def main():
         )
         assert len(x0s) == 10
         runs.append((time.time() - t0, timings))
-    # median of the 3 measured
-    total, timings = sorted(runs[1:], key=lambda r: r[0])[1]
+    measured = sorted(runs[1:], key=lambda r: r[0])
+    total, timings = measured[len(measured) // 2]
     emit("row3_sequence10_trajectory_100step", total)
     # split: compute vs tunnel transfer (drain), so axon-tunnel transfer
     # variance can't mask compute regressions (and vice versa)
     emit("row3_compute_component", timings["compute_s"])
     emit("row3_transfer_component", timings["drain_s"])
+    emit("row3_run_spread_min_to_max",
+         measured[-1][0] - measured[0][0])
 
     # --- row 4: ddpm eta=1, 1000 steps, batch 2 (last only) ---------------
     ddpm = ScanSampler(denoise, kind="ddpm_noisy", scan_chunk=100,
