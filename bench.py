@@ -33,15 +33,15 @@ SHAPE = (1, 2, 8192, 256)
 
 
 def main():
+    t_start = time.time()
     import jax
 
-    # persistent compile cache keeps repeat benches from paying the (large)
-    # XLA compile cost every round
-    try:
-        jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
-    except Exception:
-        pass
+    # persistent compile cache OUTSIDE the repo tree (survives `git clean`;
+    # the round-4 driver bench timed out on a cold in-repo cache). The
+    # remote-compile cost model is documented in utils/compile_cache.py.
+    from ddim_audio_tpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
 
     from ddim_audio_tpu.config import load_config, production_eval_cfg
     from ddim_audio_tpu.diffusion.schedules import (
@@ -99,14 +99,24 @@ def main():
 
     # timed runs, data-dependent chaining: the remote-TPU runtime can elide
     # re-execution of byte-identical calls, so each run consumes the previous
-    # run's (renormalized) output as its input noise
+    # run's (renormalized) output as its input noise.
+    #
+    # TIMEOUT RESILIENCE (round-4 lesson — the driver's bench died at
+    # rc=124 with nothing printed): extra timed runs only sharpen the
+    # number (min-of-N vs min-of-1), so they are taken only while total
+    # wall-clock stays under a budget. A cold remote compile (~17 min) or
+    # a cold tunnel-server kernel cache (~7 min first execution) already
+    # spent the time budget: print after ONE run and get out.
     renorm = jax.jit(lambda o: o * jax.lax.rsqrt(jax.numpy.mean(o * o) + 1e-8))
+    extra_run_budget_s = 420.0  # keep total under ~8 min when warm-ish
     runs = []
-    for _ in range(2):
+    for i in range(3):
         t0 = time.time()
         out = sampler.sample_last(x, seq, sched, eta=0.0, params=params)
         fetch(out)
         runs.append(time.time() - t0)
+        if time.time() - t_start > extra_run_budget_s:
+            break
         x = renorm(out)
     value = min(runs)
 
@@ -118,7 +128,8 @@ def main():
                 "unit": "s",
                 "vs_baseline": round(TORCH_CPU_100STEP_SECONDS / value, 1),
             }
-        )
+        ),
+        flush=True,
     )
     return 0
 

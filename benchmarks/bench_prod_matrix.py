@@ -24,11 +24,9 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-try:
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
-except Exception:
-    pass
+from ddim_audio_tpu.utils.compile_cache import enable_persistent_cache
+
+enable_persistent_cache()
 
 from benchmarks.timing import op_ms
 from ddim_audio_tpu.config import load_config

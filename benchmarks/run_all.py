@@ -27,11 +27,9 @@ def main():
     import jax.numpy as jnp
     import numpy as np
 
-    try:
-        jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
-    except Exception:
-        pass
+    from ddim_audio_tpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
 
     from ddim_audio_tpu.config import load_config, production_eval_cfg
     from ddim_audio_tpu.diffusion.schedules import (

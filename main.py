@@ -115,6 +115,11 @@ def parse_args_and_config(argv=None):
 
     import jax
 
+    from ddim_audio_tpu.utils.compile_cache import enable_persistent_cache
+
+    # remote-TPU compiles are minutes-expensive; cache them across runs
+    enable_persistent_cache()
+
     logging.info("Using devices: {}".format(jax.devices()))
     new_config.device = str(jax.devices()[0])
 
