@@ -10,6 +10,8 @@ import jax.numpy as jnp
 from jax.experimental import mesh_utils
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from tests._isolate import isolate_subprocess
+
 from ddim_audio_tpu.models.unet import apply_model, init_model
 from ddim_audio_tpu.parallel.mesh import make_mesh, shard_batch
 from ddim_audio_tpu.parallel.sp import apply_model_sp
@@ -44,6 +46,7 @@ def test_sp_forward_jitted(tiny_cfg, sp_mesh):
 
 
 @pytest.mark.heavy
+@isolate_subprocess
 def test_sp_forward_flat_kernels_match(tiny_cfg):
     """The SP forward HOSTS the flat Pallas kernels per time-shard
     (interpret mode on the CPU mesh): conv_impl="pallas" under an sp=2 mesh
@@ -71,6 +74,7 @@ def test_sp_forward_flat_kernels_match(tiny_cfg):
 
 
 @pytest.mark.heavy
+@isolate_subprocess
 def test_sp_forward_flat_kernels_gamma_zero(tiny_cfg):
     """`_zero_pad_row`'s ridge fallback at a gamma=0 GroupNorm channel.
 
@@ -279,6 +283,7 @@ def test_dp_shard_map_train_matches_grad_accum(tiny_cfg):
 
 
 @pytest.mark.heavy
+@isolate_subprocess
 def test_dp_shard_map_train_runs_flat_kernels(tiny_cfg):
     """The dp shard_map train step keeps the flat Pallas kernels valid
     per-device (interpret mode on the CPU mesh): conv_impl="pallas" under
@@ -380,6 +385,7 @@ def test_sp_train_step_matches_single_device(tiny_cfg):
 
 
 @pytest.mark.heavy
+@isolate_subprocess
 def test_sp_train_step_runs_flat_kernels(tiny_cfg):
     """sp>1 training KEEPS the flat Pallas kernels (interpret mode on the
     CPU mesh): conv_impl="pallas" under an sp=2 mesh — halo-exchanged
