@@ -245,11 +245,14 @@ class ScanSampler:
         timings: optional dict; when given, filled with ``compute_s`` (wall
         time until all chunk programs have executed, synced via a 1-element
         host fetch of the final x — the axon tunnel can return early from
-        block_until_ready, so a host fetch is the only reliable sync) and
+        block_until_ready, so a host fetch is the only reliable sync),
         ``drain_s`` (remaining time spent materializing the final kept-state
-        buffers on host). Benchmarks use the split so tunnel-transfer
-        variance can't mask compute regressions; intermediate drains that
-        overlap later chunks' compute are attributed to compute_s."""
+        buffers on host), and ``mid_drains`` (buffer pairs evicted to host
+        MID-RUN because pending kept states exceeded the HBM budget — the
+        ``--sequence -1`` streaming path; >0 proves the eviction machinery
+        executed). Benchmarks use the split so tunnel-transfer variance
+        can't mask compute regressions; intermediate drains that overlap
+        later chunks' compute are attributed to compute_s."""
         import time as _time
 
         t_start = _time.perf_counter()
@@ -282,6 +285,7 @@ class ScanSampler:
         pending = []  # [(x0_buf, xt_buf)] in chunk order, still on device
         pending_bytes = 0
         buf_pair_bytes = 2 * saved_nbytes
+        mid_drains = 0
 
         def drain(bufs):
             nonlocal pending_bytes
@@ -320,9 +324,11 @@ class ScanSampler:
             pending_bytes += n_slots * buf_pair_bytes
             while pending_bytes > _BUFFER_BUDGET_BYTES and len(pending) > 1:
                 drain(pending.pop(0))  # bound HBM for --sequence -1 runs
+                mid_drains += 1
         if timings is not None:
             float(x[(0,) * x.ndim])  # 1-element host fetch: compute done
             timings["compute_s"] = _time.perf_counter() - t_start
+            timings["mid_drains"] = mid_drains
         for bufs in pending:
             drain(bufs)
         if timings is not None:

@@ -154,3 +154,69 @@ def test_fullscale_tap_int8_snr(full_setup):
                                    dtype=jnp.bfloat16, tap_int8=True),
                params, x, t)
     assert _snr(ref, out) > 44, _snr(ref, out)
+
+
+def test_streaming_budget_eviction(full_setup, monkeypatch):
+    """The ``--sequence -1`` streaming path ON HARDWARE with forced HBM
+    -budget evictions: a 60-step all-kept trajectory under a shrunken
+    buffer budget must evict pending device buffers to host MID-RUN
+    (timings["mid_drains"] > 0) and still return every state, with the
+    final streamed state matching an independent last-only run. The
+    production-scale proof (1000 steps, 16 GB of kept states through the
+    real 4 GB budget, 8 evictions) is benchmarks/bench_seq_all.py /
+    BASELINE.md. Reference semantics: runners/diffusion.py:388-394 keeps
+    every step."""
+    import numpy as np
+
+    from ddim_audio_tpu.config import load_config, production_eval_cfg
+    from ddim_audio_tpu.diffusion.schedules import (
+        make_schedule,
+        make_timestep_subsequence,
+    )
+    from ddim_audio_tpu.models.unet import (
+        _supports_full_flat,
+        apply_model_flat_io,
+        flat_io_adapters,
+    )
+    from ddim_audio_tpu.sampling import driver as driver_mod
+    from ddim_audio_tpu.sampling.driver import ScanSampler
+
+    config = load_config("configs/audio.yml")
+    base = ModelConfig.from_config(config)
+    prod = production_eval_cfg(config, base)
+    assert _supports_full_flat(prod)
+    params = init_model(jax.random.key(0), base)
+    sched = make_schedule(
+        config.diffusion.beta_schedule, config.diffusion.beta_start,
+        config.diffusion.beta_end, config.diffusion.num_diffusion_timesteps)
+    seq = make_timestep_subsequence(sched.num_timesteps, 60, "uniform")
+    steps = len(seq)  # uniform stride rounding can overshoot the request
+    x = jax.random.normal(jax.random.key(1), (1, 2, 8192, 256), jnp.float32)
+
+    to_flat, from_flat, noise_builder = flat_io_adapters(prod)
+
+    def denoise(p, xf, t):
+        return apply_model_flat_io(p, xf, t, prod)
+
+    sampler = ScanSampler(denoise, kind="generalized", scan_chunk=20,
+                          state_to_saved=from_flat,
+                          noise_builder=noise_builder)
+    # fp16 saved state = 8 MiB; a 20-step chunk pair = 320 MiB. A 512 MiB
+    # budget forces an eviction roughly every other chunk.
+    monkeypatch.setattr(driver_mod, "_BUFFER_BUDGET_BYTES", 512 << 20)
+
+    timings = {}
+    xf = to_flat(x)
+    xs, x0s = sampler.sample(
+        xf, seq, sched, eta=0.0, select_index=None, params=params,
+        buffer_dtype="float16", timings=timings,
+    )
+    assert len(xs) == steps + 1 and len(x0s) == steps
+    assert timings["mid_drains"] > 0, timings
+    for arr in (xs[1], xs[-1], x0s[0], x0s[-1]):
+        assert np.isfinite(arr).all()
+
+    ref = np.asarray(
+        from_flat(sampler.sample_last(xf, seq, sched, eta=0.0,
+                                      params=params)), np.float32)
+    assert _snr(ref, xs[-1]) > 60, _snr(ref, xs[-1])
