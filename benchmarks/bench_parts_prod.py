@@ -46,10 +46,29 @@ from ddim_audio_tpu.ops.pallas.conv_strided import (
 )
 
 
-def row(name, ms, mult, acc):
+# Achieved 1r+1w HBM bandwidth on this chip (slope protocol, BASELINE.md
+# round 3 — ~80% of the v5e's 819 GB/s paper number).
+ACHIEVED_BW = 650e9
+
+
+def row(name, ms, mult, acc, nbytes=None, mech=""):
+    """One table line. nbytes = the op's INTRINSIC HBM traffic (kernel
+    reads + writes, excluding the harness renorm pass — subtract the
+    printed renorm_ms from `ms` before comparing against the floor);
+    mech = the named mechanism that binds when measured ≫ floor."""
     acc.append(ms * mult)
-    print(f"{name:46s} {ms:8.3f} ms  x{mult:<3d} = {ms * mult:7.3f} ms",
-          flush=True)
+    if nbytes is None:
+        print(f"{name:46s} {ms:8.3f} ms  x{mult:<3d} = {ms * mult:7.3f} ms",
+              flush=True)
+        return
+    floor = nbytes / ACHIEVED_BW * 1e3
+    acc_floor.append(floor * mult)
+    print(
+        f"{name:46s} {ms:8.3f} ms  x{mult:<3d} = {ms * mult:7.3f} ms"
+        f" | floor {floor:6.3f} ms ({nbytes / 2**20:6.1f} MiB)"
+        f"  x{ms / floor:4.1f}  {mech}",
+        flush=True,
+    )
 
 
 def main():
@@ -73,6 +92,8 @@ def main():
           flush=True)
 
     parts = []
+    global acc_floor
+    acc_floor = []
 
     # --- head (production asymmetric kernel, want_stats) ---------------
     f, c0, cin, t = cfg.f_size, cfg.ch[0], cfg.channels, 8192
@@ -86,8 +107,10 @@ def main():
                                  want_stats=True)
         return o.reshape(bsz, t, f * c0)[:, :, : f * cin]
 
+    head_bytes = 2 * t * f * (cin + c0)
     row("head conv 2->32 (asym, stats)", op_ms(head_op, xh, renorm=True),
-        1, parts)
+        1, parts, nbytes=head_bytes,
+        mech="write-dominated; small-M asym taps")
 
     # --- tail (production asymmetric kernel, fused residual) -----------
     tail = params["up_modules"]["tail"]
@@ -101,8 +124,10 @@ def main():
         o = conv_tail_flat(x, wt, tb, c0=c0, c_out=cin, f=f, residual=res_t)
         return jnp.tile(o, (1, 1, c0 // cin))
 
+    tail_bytes = 2 * t * f * (2 * c0 + cin)
     row("tail conv 32->2 (asym, +res, incl tile)",
-        op_ms(tail_op, xt, renorm=True), 1, parts)
+        op_ms(tail_op, xt, renorm=True), 1, parts, nbytes=tail_bytes,
+        mech="2 big reads; harness tile adds +2S")
 
     # --- per-stage resblocks (production: rows_io + tap_int8) ----------
     ff, tt = cfg.f_size, 8192
@@ -125,9 +150,13 @@ def main():
 
         ms = op_ms(rb_op, xv, renorm=True)
         rn = renorm_ms(xv)
+        s_bytes = 2 * tt * ff * c  # one full activation pass, bf16
         # 2*res resblocks per stage (res down + res up)
         row(f"s{i} resblock [t={tt} f={ff} c={c}] int8={int(tap8)} "
-            f"(renorm {rn:.3f})", ms, 2 * res, parts)
+            f"(renorm {rn:.3f})", ms, 2 * res, parts, nbytes=7 * s_bytes,
+            mech=("padded 9-tap MXU passes + in-kernel VPU (prologue/"
+                  "epilogue)" if flat_period(c) > c
+                  else "small-op latency; MXU taps"))
 
     # --- strided transitions (production: slim + stats, up has residual)
     ff, tt = cfg.f_size, 8192
@@ -143,13 +172,23 @@ def main():
         def dn_op(xx, w2d=w2d, bd=bd, prev=prev, c=c):
             o, _, _ = conv_down_flat(xx, w2d, bd, c_in=prev, c_out=c,
                                      want_stats=True)
-            # [B, t/2, (f/2)·c_out] has the same lane count as xx: fold
-            # by doubling t (one contiguous concat copy — lane-dimension
-            # jnp.tile measured ~1.9 ms of pure harness cost here)
-            return jnp.concatenate([o, o], axis=1)
+            # restore the carry shape: double t (contiguous concat copy —
+            # lane-dimension jnp.tile measured ~1.9 ms of pure harness cost
+            # here), then slice/pad lanes when c_out/c_in ≠ 2 changes the
+            # lane count (e.g. 64→96)
+            o = jnp.concatenate([o, o], axis=1)
+            lanes = xx.shape[2]
+            if o.shape[2] >= lanes:
+                o = o[:, :, :lanes]
+            else:
+                o = jnp.concatenate(
+                    [o, o[:, :, : lanes - o.shape[2]]], axis=2)
+            return o
 
+        dn_bytes = 2 * tt * ff * prev + 2 * (tt // 2) * (ff // 2) * c
         row(f"down {prev}->{c} [t={tt}] (stats, incl fold)",
-            op_ms(dn_op, x, renorm=True), 1, parts)
+            op_ms(dn_op, x, renorm=True), 1, parts, nbytes=dn_bytes,
+            mech="12-tap banded de-interleave; harness fold adds +2S_out")
 
         xu = jax.random.normal(key, (bsz, tt // 2, (ff // 2) * c),
                                compute_dtype)
@@ -161,8 +200,11 @@ def main():
                                    residual=res_u, want_stats=True)
             return o[:, : xx.shape[1], : xx.shape[2]]
 
+        up_bytes = (2 * (tt // 2) * (ff // 2) * c
+                    + 2 * 2 * tt * ff * prev)
         row(f"up {c}->{prev} [t={tt // 2}] (+res, stats, incl slice)",
-            op_ms(up_op, xu, renorm=True), 1, parts)
+            op_ms(up_op, xu, renorm=True), 1, parts, nbytes=up_bytes,
+            mech="residual read+write dominate; banded interleave")
         tt //= 2
         ff //= 2
         prev = c
@@ -180,13 +222,23 @@ def main():
         return (z.reshape(bsz, tt, cc, ff).transpose(0, 1, 3, 2)
                 .reshape(bsz, tt, ff * cc).astype(compute_dtype))
 
+    n_layers = int(cfg.transformers.kwargs.num_hidden_layers)
+    act = 4 * tt * cc * ff
+    mlp_ratio = (cfg.transformers.kwargs.intermediate_size
+                 / cfg.transformers.kwargs.hidden_size)
+    fnet_bytes = int(27.3e6 * 4 + n_layers * act * (4 + 2 * mlp_ratio)
+                     + 4 * act)
     row(f"bottleneck FNet x12 + transposes [t={tt}]",
-        op_ms(mid_op, zf, renorm=True), 1, parts)
+        op_ms(mid_op, zf, renorm=True), 1, parts, nbytes=fnet_bytes,
+        mech="weight read + small-matmul latency (fp32, 2048-dim)")
 
     print(f"\nsum of production parts: {sum(parts):.2f} ms "
           f"(vs measured full forward ~29.5 ms; gap = skip adds at "
           f"bottleneck scale + sampler-side glue + renorm inflation)",
         flush=True)
+    print(f"sum of bytes floors: {sum(acc_floor):.2f} ms at 650 GB/s "
+          f"(intrinsic kernel reads+writes only; measured rows include "
+          f"the renorm pass + harness glue)", flush=True)
 
 
 if __name__ == "__main__":
