@@ -420,7 +420,11 @@ class Diffusion:
             x = shard_batch(self.mesh, x)
 
         if args.sequence in (-1, 0):
-            select_index = set(range(args.timesteps))
+            # keep EVERY step natively (reference runners/diffusion.py:388-394
+            # appends each step of seq). select_index=range(timesteps) would
+            # silently drop the tail when the uniform subsequence overshoots
+            # the request (len(seq) > timesteps for non-divisor step counts).
+            select_index = None
         else:
             idx = np.linspace(1, args.timesteps, args.sequence, dtype=np.int32)
             select_index = set((args.timesteps - idx).tolist())

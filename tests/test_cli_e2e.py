@@ -142,6 +142,26 @@ def test_bf16_sampling_dtype_override(workspace, tmp_path):
     assert len([f for f in os.listdir(img_dir) if f.endswith(".wav")]) == 2
 
 
+def test_sequence_all_cli(workspace):
+    """--sequence -1 keeps EVERY sampler step (reference runners/
+    diffusion.py:388-394), including the overshoot tail: --timesteps 7
+    over T=50 yields an 8-step uniform subsequence (range(0, 50, 7)), and
+    all 8 x0-predictions must be written — the round-5 fix; the old
+    select_index=range(timesteps) silently dropped the extra step."""
+    ws, cfg_path = workspace
+    exp = str(ws / "exp")
+    if not os.path.exists(os.path.join(exp, "logs", "smoke", "ckpt.npz")):
+        assert _run(["--config", cfg_path, "--doc", "smoke", "--exp", exp,
+                     "--ni", "--seed", "7"]) == 0
+    code = _run(["--config", cfg_path, "--doc", "smoke", "--exp", exp,
+                 "--ni", "--seed", "7", "--sample", "--sequence", "-1",
+                 "--timesteps", "7", "-i", "smoke_seqall"])
+    assert code == 0
+    img_dir = os.path.join(exp, "image_samples", "smoke_seqall")
+    pngs = [f for f in os.listdir(img_dir) if f.endswith(".png")]
+    assert len(pngs) == 8, sorted(pngs)  # num_samples=1 x 8 kept steps
+
+
 @pytest.mark.heavy
 def test_validation_freq_cli(workspace, tmp_path):
     """training.validation_freq (configs/audio.yml:74 — a dead knob in the
