@@ -110,7 +110,7 @@ def main():
     head_bytes = 2 * t * f * (cin + c0)
     row("head conv 2->32 (asym, stats)", op_ms(head_op, xh, renorm=True),
         1, parts, nbytes=head_bytes,
-        mech="write-dominated; small-M asym taps")
+        mech="sparse wide-contraction taps (alignment-padded)")
 
     # --- tail (production asymmetric kernel, fused residual) -----------
     tail = params["up_modules"]["tail"]
@@ -127,7 +127,8 @@ def main():
     tail_bytes = 2 * t * f * (2 * c0 + cin)
     row("tail conv 32->2 (asym, +res, incl tile)",
         op_ms(tail_op, xt, renorm=True), 1, parts, nbytes=tail_bytes,
-        mech="2 big reads; harness tile adds +2S")
+        mech="sparse 2048-wide tap dots (0.2% dense) + in-VMEM "
+             "assembly adds; harness tile adds +2S")
 
     # --- per-stage resblocks (production: rows_io + tap_int8) ----------
     ff, tt = cfg.f_size, 8192
